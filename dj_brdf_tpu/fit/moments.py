@@ -1,0 +1,99 @@
+"""Moment-based roughness extraction from tabulated NDFs.
+
+TPU-native version of the reference's direct parametric conversions:
+``tabular::fit_beckmann_parameters`` (dj_brdf.h:3133-3158),
+``tabular::fit_ggx_parameters`` (3160-3184), and the anisotropic
+5-moment variants (3186-3307). The quadrature grids and weights match
+the reference exactly so fitted alphas agree with the C++ oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+
+
+def fit_beckmann_parameters(dist) -> MicrofacetParams:
+    """alpha = sqrt(2 E[r^2 cos^2 phi]) (dj_brdf.h:3133-3158)."""
+    ntheta = 128
+    dtheta = np.pi / ntheta
+    u = jnp.arange(ntheta, dtype=jnp.float32) / ntheta
+    theta_h = u * u * np.float32(np.pi * 0.5)
+    cos_h = jnp.cos(theta_h)
+    r_h = jnp.tan(theta_h)
+    p22_r = dist.p22_radial(r_h * r_h)
+    nint = jnp.sum((u * r_h ** 3 * p22_r) / (cos_h * cos_h))
+    nint = nint * dtheta * np.pi  # int_0^2pi cos^2 = pi
+    alpha = jnp.sqrt(2.0 * nint)
+    return MicrofacetParams.isotropic(alpha)
+
+
+def fit_ggx_parameters(dist) -> MicrofacetParams:
+    """alpha = E[r |cos phi|]-style first moment (dj_brdf.h:3160-3184)."""
+    ntheta = 128
+    dtheta = np.pi / ntheta
+    u = jnp.arange(ntheta, dtype=jnp.float32) / ntheta
+    theta_h = u * u * np.float32(np.pi * 0.5)
+    cos_h = jnp.cos(theta_h)
+    r_h = jnp.tan(theta_h)
+    p22_r = dist.p22_radial(r_h * r_h)
+    nint = jnp.sum((u * r_h ** 2 * p22_r) / (cos_h * cos_h))
+    alpha = nint * dtheta * 4.0  # int_0^2pi |cos| = 4
+    return MicrofacetParams.isotropic(alpha)
+
+
+def _aniso_moments(dist, ggx: bool):
+    """Shared 5-moment quadrature over the standard slope PDF
+    (dj_brdf.h:3186-3307)."""
+    ntheta, nphi = 128, 512
+    dtheta = np.sqrt(np.pi * 0.5) / ntheta
+    dphi = 2.0 * np.pi / nphi
+
+    tj = jnp.arange(nphi, dtype=jnp.float32) / nphi
+    phi = tj * np.float32(2.0 * np.pi)
+    ti = jnp.arange(ntheta, dtype=jnp.float32) / ntheta
+    theta = ti * np.float32(np.sqrt(np.pi * 0.5))
+    theta_sqr = theta * theta
+
+    T2, P = jnp.meshgrid(theta_sqr, phi)      # (nphi, ntheta)
+    Tw = jnp.meshgrid(theta, phi)[0]
+    p22 = dist.p22_std_theta_phi(T2, P)
+    tan_t = jnp.tan(T2)
+    cos_t = jnp.cos(T2)
+    w = Tw * p22 * tan_t / (cos_t * cos_t)
+
+    cos_p = jnp.cos(P)
+    sin_p = jnp.sin(P)
+    e1 = -tan_t * cos_p
+    e2 = -tan_t * sin_p
+    if ggx:
+        e3 = jnp.abs(e1)
+        e4 = jnp.abs(e2)
+        e5 = jnp.zeros_like(e1)
+    else:
+        e3 = tan_t ** 2 * cos_p ** 2
+        e4 = tan_t ** 2 * sin_p ** 2
+        e5 = tan_t ** 2 * cos_p * sin_p
+    scale = 2.0 * dtheta * dphi
+    return [float(jnp.sum(w * e) * scale) for e in (e1, e2, e3, e4, e5)]
+
+
+def fit_beckmann_parameters_anisotropic(dist) -> MicrofacetParams:
+    """(dj_brdf.h:3186-3247)."""
+    m = _aniso_moments(dist, ggx=False)
+    mux, muy = m[0], m[1]
+    ax = np.sqrt(2.0 * (m[2] - mux * mux))
+    ay = np.sqrt(2.0 * (m[3] - muy * muy))
+    rho = 2.0 * (m[4] - mux * muy) / (ax * ay)
+    return MicrofacetParams.pdfparams(ax, ay, rho, mux, muy)
+
+
+def fit_ggx_parameters_anisotropic(dist) -> MicrofacetParams:
+    """(dj_brdf.h:3249-3307; rho fixed to 0 as in the reference TODO)."""
+    m = _aniso_moments(dist, ggx=True)
+    mux, muy = m[0], m[1]
+    ax = np.sqrt(max(m[2] * m[2] - mux * mux, 0.0))
+    ay = np.sqrt(max(m[3] * m[3] - muy * muy, 0.0))
+    return MicrofacetParams.pdfparams(ax, ay, 0.0, mux, muy)

@@ -72,9 +72,12 @@ class ABC:
         return Unpolarized(ior=ior3)
 
     def ndf(self, h):
-        """(reference abc__ndf, dj_brdf.h:3608-3613)."""
+        """(reference abc__ndf, dj_brdf.h:3608-3613). Formulated as
+        exp(-C log1p(B(1-cos))) — accurate in f32 even for the extreme
+        B values in the chrome/obsidian fits, and cheaper than pow."""
         tmp = 1.0 - h[..., 2:3]
-        return self.a / jnp.power(1.0 + self.b[..., None] * tmp, self.c[..., None])
+        return self.a * jnp.exp(-self.c[..., None]
+                                * jnp.log1p(self.b[..., None] * tmp))
 
     def gaf(self, h, i, o):
         """V-cavity-style min GAF (reference abc::gaf, dj_brdf.h:3649-3655)."""
