@@ -1,0 +1,73 @@
+"""Headline benchmark: GGX microfacet evalp forward+backward throughput
+per chip (the reference's hot loop, dj_brdf.h:1529-1547, as one fused
+XLA program). Prints ONE JSON line; vs_baseline is against the 1e9
+evals/s/chip north-star target (BASELINE.md).
+
+Run on the real TPU: `python bench.py`. Optional env:
+  BENCH_N        batch size per step   (default 2^22)
+  BENCH_ITERS    timed iterations      (default 20)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from dj_brdf_tpu import fresnel
+    from dj_brdf_tpu.core.math import from_spherical
+    from dj_brdf_tpu.fit.lsq import raw_init, make_loss
+    from dj_brdf_tpu.microfacet.ndf import GGX
+
+    n = int(os.environ.get("BENCH_N", 1 << 22))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    i = from_spherical(jax.random.uniform(k1, (n,), minval=0.02, maxval=1.5),
+                       jax.random.uniform(k2, (n,), maxval=6.28))
+    o = from_spherical(jax.random.uniform(k3, (n,), minval=0.02, maxval=1.5),
+                       jax.random.uniform(k4, (n,), maxval=6.28))
+    target = jnp.ones((n, 3), jnp.float32)
+
+    dist = GGX()
+    loss = make_loss(dist)
+    raw = raw_init()
+
+    # forward+backward: gradient of the fitting loss wrt all params
+    step = jax.jit(jax.value_and_grad(loss))
+
+    def timed_round():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, grads = step(raw, i, o, target)
+        # force a full device sync (incl. host readback) before stopping
+        float(val)
+        jax.block_until_ready(grads)
+        return time.perf_counter() - t0
+
+    # round 0 pays compile + first-execution warmup on the remote
+    # device; take the best of the following rounds
+    timed_round()
+    dt = min(timed_round() for _ in range(3))
+
+    evals_per_s = n * iters / dt
+    print(f"# {n} evals x {iters} iters in {dt:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ggx_evalp_fwdbwd_evals_per_s_per_chip",
+        "value": evals_per_s,
+        "unit": "evals/s",
+        "vs_baseline": evals_per_s / 1e9,
+    }))
+
+
+if __name__ == "__main__":
+    main()

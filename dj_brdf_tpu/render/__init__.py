@@ -1,0 +1,1 @@
+from dj_brdf_tpu.render.sphere import render_sphere, sphere_normals

@@ -1,0 +1,106 @@
+"""Render / LSQ-fit / parallel-integral / entry-point tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dj_brdf_tpu import fresnel
+from dj_brdf_tpu.core.math import from_spherical
+from dj_brdf_tpu.fit import lsq
+from dj_brdf_tpu.microfacet import brdf as mf
+from dj_brdf_tpu.microfacet.ndf import GGX
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+from dj_brdf_tpu.models.lambert import Lambert
+from dj_brdf_tpu.parallel import integrals
+from dj_brdf_tpu.parallel.mesh import make_mesh
+from dj_brdf_tpu.render.sphere import render_sphere
+
+
+def test_render_sphere_image_and_gradients():
+    dist = GGX()
+
+    def forward(params, f0):
+        fres = fresnel.Schlick(f0=f0)
+        return render_sphere(lambda i, o: mf.evalp(dist, fres, params, i, o),
+                             light_dir=(0.3, 0.4, 0.8), res=64)
+
+    params = MicrofacetParams.elliptic(0.3, 0.1, 0.5)
+    f0 = jnp.asarray([0.9, 0.6, 0.3], jnp.float32)
+    img = jax.jit(forward)(params, f0)
+    assert img.shape == (64, 64, 3)
+    assert float(img.max()) > 0.1
+    assert np.isfinite(np.asarray(img)).all()
+    # corners outside the sphere are black
+    assert float(img[0, 0].sum()) == 0.0
+
+    g = jax.jit(jax.grad(lambda p, f: forward(p, f).sum(), argnums=(0, 1)))(
+        params, f0)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_render_pixel_gradients_match_finite_differences():
+    """Pixel-gradient correctness (BASELINE north_star): autodiff
+    d(image)/d(alpha) vs central finite differences."""
+    dist = GGX()
+    fres = fresnel.Ideal()
+
+    def image_sum(alpha):
+        params = MicrofacetParams.pdfparams(alpha, alpha)
+        return render_sphere(lambda i, o: mf.evalp(dist, fres, params, i, o),
+                             light_dir=(0.2, 0.1, 0.97), res=32).sum()
+
+    a0 = jnp.float32(0.4)
+    g_ad = float(jax.grad(image_sum)(a0))
+    eps = 1e-3
+    g_fd = (float(image_sum(a0 + eps)) - float(image_sum(a0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=5e-3)
+
+
+def test_lsq_recovers_ggx_parameters(rng):
+    dist = GGX()
+    true_params = MicrofacetParams.isotropic(0.25)
+    true_f0 = jnp.asarray([0.9, 0.6, 0.3], jnp.float32)
+    n = 4096
+    i = from_spherical(jnp.asarray(rng.uniform(0.05, 1.45, n), jnp.float32),
+                       jnp.asarray(rng.uniform(0, 6.28, n), jnp.float32))
+    o = from_spherical(jnp.asarray(rng.uniform(0.05, 1.45, n), jnp.float32),
+                       jnp.asarray(rng.uniform(0, 6.28, n), jnp.float32))
+    target = mf.evalp(dist, fresnel.Schlick(f0=true_f0), true_params, i, o)
+
+    params, fres, losses = lsq.fit_lsq(dist, i, o, target, steps=400, lr=5e-2)
+    assert float(losses[-1]) < 1e-3
+    np.testing.assert_allclose(float(params.ax), 0.25, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(fres.f0), np.asarray(true_f0),
+                               atol=0.05)
+
+
+def test_furnace_integral_lambert():
+    lam = Lambert(reflectance=jnp.asarray([0.8, 0.8, 0.8], jnp.float32))
+    o = from_spherical(jnp.asarray([0.3, 0.9]), jnp.asarray([0.0, 1.0]))
+    vals = integrals.furnace_integral(lam.evalp, o, n_theta=128, n_phi=256)
+    np.testing.assert_allclose(np.asarray(vals), 0.8, rtol=2e-2)
+
+
+def test_furnace_integral_sharded_matches_unsharded():
+    mesh = make_mesh(8)
+    dist = GGX()
+    fres = fresnel.Ideal()
+    params = MicrofacetParams.isotropic(0.5)
+    evalp_fn = lambda i, o: mf.evalp(dist, fres, params, i, o)
+    o = from_spherical(jnp.linspace(0.1, 1.4, 16), jnp.zeros(16))
+    plain = integrals.furnace_integral(evalp_fn, o)
+    sharded = integrals.furnace_integral(evalp_fn, o, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                               rtol=1e-5)
+    # energy conservation
+    assert float(jnp.max(sharded)) <= 1.0 + 1e-2
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    img = jax.jit(fn)(*args)
+    assert img.shape == (256, 256, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    g.dryrun_multichip(8)
