@@ -64,8 +64,10 @@ def run_sections(*args: str) -> dict:
             k += n
             arr = np.asarray(vals)
             sections[name] = arr[:, 0] if arr.shape[1] == 1 else arr
-        else:
+        elif len(parts) == 2:
             sections[name] = float(parts[1])
+        else:
+            sections[name] = np.asarray([float(x) for x in parts[1:]])
     return sections
 
 

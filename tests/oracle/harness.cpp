@@ -154,6 +154,70 @@ int main(int argc, char **argv) {
         djb::merl merl(argv[2]);
         djb::tabular tab(merl, atoi(argv[3]));
         dump_tabular(tab);
+    } else if (!strcmp(cmd, "tabular_aniso")) {
+        // tabular_aniso <dist> <a1> <a2> <phi_a> <elev> <azim>:
+        // dump sampling-table queries, evalp grid, and aniso fits
+        djb::microfacet *m = make_dist(argv[2]);
+        djb::microfacet::params p =
+            djb::microfacet::params::elliptic(atof(argv[3]), atof(argv[4]),
+                                              atof(argv[5]));
+        fixed_params_brdf wrapped(*m, p);
+        int elev = atoi(argv[6]), azim = atoi(argv[7]);
+        djb::tabular_anisotropic tab(wrapped, elev, azim);
+
+        int ep, ap;
+        const std::vector<float_t> &p22 = tab.get_p22v(&ep, &ap);
+        printf("p22 %d\n", (int)p22.size());
+        for (size_t i = 0; i < p22.size(); ++i)
+            printf("%.9e\n", (double)p22[i]);
+        const std::vector<float_t> &sig = tab.get_sigmav(&ep, &ap);
+        printf("sigma %d\n", (int)sig.size());
+        for (size_t i = 0; i < sig.size(); ++i)
+            printf("%.9e\n", (double)sig[i]);
+
+        const int NQ = 32;
+        printf("queries %d\n", NQ * NQ);
+        for (int a = 0; a < NQ; ++a)
+        for (int b = 0; b < NQ; ++b) {
+            float_t u = ((float_t)a + 0.5f) / NQ;
+            float_t v = ((float_t)b + 0.5f) / NQ;
+            float_t phi = u * 2.0 * M_PI;
+            float_t theta = v * 0.5 * M_PI * 0.98;
+            printf("%.9e %.9e %.9e %.9e %.9e %.9e\n",
+                   (double)tab.pdf1(phi), (double)tab.cdf1(phi),
+                   (double)tab.qf1(u), (double)tab.pdf2(theta, phi),
+                   (double)tab.cdf2(theta, phi), (double)tab.qf2(v, phi));
+        }
+        float_t vals[5];
+        djb::microfacet::params pb =
+            djb::tabular_anisotropic::fit_beckmann_parameters(tab);
+        pb.get_pdfparams(&vals[0], &vals[1], &vals[2], &vals[3], &vals[4]);
+        printf("fit_beckmann %.9e %.9e %.9e %.9e %.9e\n", (double)vals[0],
+               (double)vals[1], (double)vals[2], (double)vals[3],
+               (double)vals[4]);
+        djb::microfacet::params pg =
+            djb::tabular_anisotropic::fit_ggx_parameters(tab);
+        pg.get_pdfparams(&vals[0], &vals[1], &vals[2], &vals[3], &vals[4]);
+        printf("fit_ggx %.9e %.9e %.9e %.9e %.9e\n", (double)vals[0],
+               (double)vals[1], (double)vals[2], (double)vals[3],
+               (double)vals[4]);
+        printf("evalp_grid 1296\n");
+        const int NT = 6, NP = 6;
+        for (int a = 0; a < NT; ++a)
+        for (int b = 0; b < NP; ++b)
+        for (int c = 0; c < NT; ++c)
+        for (int d = 0; d < NP; ++d) {
+            vec3 i = grid_dir(a, NT, b, NP);
+            vec3 o = grid_dir(c, NT, d, NP);
+            vec3 v = tab.evalp(i, o, NULL);
+            printf("%.9e %.9e %.9e\n", (double)v.x, (double)v.y, (double)v.z);
+        }
+        printf("ndf_sigma %d\n", NT * NP);
+        for (int a = 0; a < NT; ++a)
+        for (int b = 0; b < NP; ++b) {
+            vec3 k = grid_dir(a, NT, b, NP);
+            printf("%.9e %.9e\n", (double)tab.ndf(k), (double)tab.sigma(k));
+        }
     } else if (!strcmp(cmd, "lrep_roundtrip")) {
         // lrep_roundtrip <E1> <E2> <E3> <E4> <E5>
         djb::beckmann::lrep lrep(atof(argv[2]), atof(argv[3]), atof(argv[4]),

@@ -104,3 +104,18 @@ def test_graft_entry_and_dryrun():
     assert img.shape == (256, 256, 3)
     assert np.isfinite(np.asarray(img)).all()
     g.dryrun_multichip(8)
+
+
+def test_sharded_aniso_power_iteration_matches_host():
+    from dj_brdf_tpu.fit import tabular, tabular_aniso
+    from dj_brdf_tpu.parallel import power
+
+    elev, azim = 9, 16  # n = 8*16 = 128, divisible by 8 devices
+    eval_fn = tabular.microfacet_eval_fn(
+        GGX(), fresnel.Ideal(), MicrofacetParams.elliptic(0.5, 0.25, 0.6))
+    host = np.asarray(tabular_aniso.power_iteration_p22(
+        tabular_aniso.kernel_matrix(eval_fn, elev, azim), elev, azim))
+    mesh = make_mesh(8)
+    sharded = np.asarray(power.aniso_p22_sharded(eval_fn, elev, azim, mesh))
+    # sharded path runs f32 vs the host's f64 power iteration
+    np.testing.assert_allclose(sharded, host, rtol=1e-4, atol=1e-4 * host.max())
