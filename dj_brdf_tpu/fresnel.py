@@ -82,6 +82,38 @@ class SGDFresnel:
         return self.f0 - c * self.f1 + (1.0 - c) ** 5 * (1.0 - self.f0)
 
 
+def conductor_fresnel(cos_theta, eta, k):
+    """Exact unpolarized conductor Fresnel (the plugins' extra
+    ``fresnelConductorExact`` factor, mitsuba/dj_beckmannconductor.cpp
+    :325-326). ``eta``/``k``: (..., 3) complex ior. Returns (..., 3)."""
+    c = jnp.asarray(cos_theta)[..., None]
+    c2 = c * c
+    s2 = 1.0 - c2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * c
+    rs = (t1 - t2) / (t1 + t2)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / (t3 + t4)
+    return 0.5 * (rp + rs)
+
+
+@pytree_dataclass
+class Conductor:
+    """Conductor Fresnel as a model object (eta, k per channel)."""
+
+    eta: jnp.ndarray
+    k: jnp.ndarray
+
+    def __call__(self, cos_theta_d):
+        return conductor_fresnel(cos_theta_d, self.eta, self.k)
+
+
 @pytree_dataclass
 class SplineFresnel:
     """Tabulated Fresnel over theta_d with u = 2 acos(c)/pi

@@ -1,0 +1,78 @@
+"""Filtered (LEAN/LEADR) render path.
+
+TPU-native version of the ``dj_beckmannconductor`` Mitsuba plugin's
+per-shading-point parameter assembly
+(mitsuba/dj_beckmannconductor.cpp:280-428): fetch the (possibly
+mip-filtered) LEAN moments, remove the storage bias, optionally fall
+back to naive mip statistics, scale by the displacement amplitude,
+combine with the base-roughness lrep, and convert back to microfacet
+parameters. Everything is per-pixel batched, so a whole G-buffer of
+footprints resolves in one fused kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dj_brdf_tpu.core.math import dot, normalize
+from dj_brdf_tpu.core.pytree import pytree_dataclass, static_field
+from dj_brdf_tpu.lean.lrep import Lrep, lrep_to_params, params_to_lrep
+from dj_brdf_tpu.lean.maps import unbias, LEAN_BIAS
+from dj_brdf_tpu.microfacet import brdf as mf
+from dj_brdf_tpu.microfacet.ndf import Beckmann
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+
+
+def filtered_params(lean: Lrep, base_params: MicrofacetParams,
+                    dmap_scale=1.0, lean_filtering: bool = True,
+                    biased: bool = False) -> MicrofacetParams:
+    """Combine fetched LEAN moments with base roughness (reference
+    eval/pdf/sample preamble, dj_beckmannconductor.cpp:291-314)."""
+    if biased:
+        lean = unbias(lean, LEAN_BIAS)
+    if not lean_filtering:
+        # naive mip: rebuild second moments from the filtered means,
+        # losing the variance the footprint accumulated (:306-310)
+        lean = Lrep(E1=lean.E1, E2=lean.E2, E3=lean.E1 * lean.E1,
+                    E4=lean.E2 * lean.E2, E5=lean.E1 * lean.E2)
+    lean = lean * dmap_scale
+    base = params_to_lrep(base_params)
+    return lrep_to_params(lean + base)
+
+
+@pytree_dataclass
+class FilteredBeckmannMaterial:
+    """A Beckmann conductor with LEAN-filtered normal maps: the whole
+    dj_beckmannconductor material as one pytree. ``lean`` holds the
+    per-texel (or per-pixel, after footprint lookup) moments."""
+
+    lean: Lrep
+    base_params: MicrofacetParams
+    eta: jnp.ndarray            # conductor ior (3,)
+    k: jnp.ndarray              # conductor extinction (3,)
+    dmap_scale: jnp.ndarray = None
+    lean_filtering: bool = static_field(default=True)
+    biased: bool = static_field(default=False)
+
+    def params(self) -> MicrofacetParams:
+        scale = 1.0 if self.dmap_scale is None else self.dmap_scale
+        return filtered_params(self.lean, self.base_params, scale,
+                               self.lean_filtering, self.biased)
+
+    def evalp(self, i, o):
+        """f_r*cos with exact conductor Fresnel on top (reference
+        :317-327; fresnelConductorExact at dot(o, h))."""
+        from dj_brdf_tpu.fresnel import conductor_fresnel
+        params = self.params()
+        dist = Beckmann()
+        from dj_brdf_tpu import fresnel as fm
+        base = mf.evalp(dist, fm.Ideal(), params, i, o)
+        h = normalize(i + o, eps=1e-24)
+        f = conductor_fresnel(jnp.clip(dot(o, h), 0.0, 1.0), self.eta, self.k)
+        return base * f
+
+    def sample(self, u1, u2, o):
+        return mf.sample(Beckmann(), self.params(), u1, u2, o)
+
+    def pdf(self, i, o):
+        return mf.pdf(Beckmann(), self.params(), i, o)

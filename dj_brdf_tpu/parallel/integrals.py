@@ -34,11 +34,17 @@ def furnace_integral(evalp_fn, o, n_theta: int = 64, n_phi: int = 256,
         vals = evalp_fn(i, jnp.broadcast_to(o_single, i.shape))
         return jnp.sum(vals * jnp.sin(T)[..., None], axis=(0, 1)) * dw
 
-    fn = jax.vmap(one)
+    # chunk the o-batch with lax.map so the (n_o x n_theta x n_phi)
+    # integrand never materializes whole, and jit the entire sweep
+    def sweep(flat_o):
+        return jax.lax.map(one, flat_o, batch_size=64)
+
     flat_o = o.reshape(-1, 3)
     if mesh is not None:
-        fn = jax.jit(fn, in_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        fn = jax.jit(sweep, in_shardings=NamedSharding(mesh, P(DATA_AXIS)),
                      out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+    else:
+        fn = jax.jit(sweep)
     out = fn(flat_o)
     return out.reshape(o.shape[:-1] + (3,))
 

@@ -1,0 +1,140 @@
+"""CLI tool tests: run each tool as a subprocess on synthetic data
+(the user-facing equivalents of the reference's examples/, tests/ and
+utils/ programs)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dj_brdf_tpu import fresnel
+from dj_brdf_tpu.fit import tabular
+from dj_brdf_tpu.io import synth
+from dj_brdf_tpu.io.merl_io import save_merl
+from dj_brdf_tpu.io.utia_io import save_utia
+from dj_brdf_tpu.microfacet import brdf as mf
+from dj_brdf_tpu.microfacet.ndf import GGX
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(module, *args):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""   # keep subprocesses off the TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable, "-m", module, *map(str, args)],
+                          capture_output=True, text=True, env=env, cwd=REPO)
+
+
+@pytest.fixture(scope="module")
+def merl_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "testmat.binary")
+    eval_fn = tabular.microfacet_eval_fn(
+        GGX(), fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32)),
+        MicrofacetParams.isotropic(0.3))
+    save_merl(path, synth.bake_merl(eval_fn))
+    return path
+
+
+def test_merl_params_cli(merl_file, tmp_path):
+    out = str(tmp_path / "params.txt")
+    r = run_cli("dj_brdf_tpu.cli.merl_params", merl_file, "-o", out)
+    assert r.returncode == 0, r.stderr
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("#")
+    name, beck, ggx_a = lines[1].split()
+    assert name == "testmat"
+    assert 0.2 < float(ggx_a) < 0.6
+    assert float(beck) > 0
+
+
+def test_plot_cdf_cli(tmp_path):
+    r = run_cli("dj_brdf_tpu.cli.plot_cdf", "--res", 64, "--outdir",
+                str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    for f in ["eval_cdf_beckmann.txt", "eval_cdf_beckmann_tab.txt",
+              "eval_cdf_ggx.txt", "eval_cdf_ggx_tab.txt"]:
+        rows = np.loadtxt(tmp_path / f)
+        assert rows.shape[0] == 89
+        # cdf monotone in [0, 1]
+        assert (np.diff(rows[:, 1]) >= -1e-6).all()
+        assert rows[:, 1].max() <= 1.0 + 1e-5
+    # analytic and tabulated curves agree (the pipeline has a known
+    # small bias — the same one the C++ oracle shows — so this is a
+    # curve-overlap check, not exact parity)
+    a = np.loadtxt(tmp_path / "eval_cdf_ggx.txt")[:, 1]
+    b = np.loadtxt(tmp_path / "eval_cdf_ggx_tab.txt")[:, 1]
+    assert np.abs(a - b).max() < 0.1
+    assert np.median(np.abs(a - b)) < 0.06
+
+
+def test_nrm_utia_cli(tmp_path):
+    # an energy-conserving synthetic UTIA: scaled lambert
+    from dj_brdf_tpu.models.lambert import Lambert
+    lam = Lambert(reflectance=jnp.asarray([0.7, 0.7, 0.7], jnp.float32))
+    good = str(tmp_path / "good.bin")
+    save_utia(good, synth.bake_utia(lam.eval))
+    r = run_cli("dj_brdf_tpu.cli.nrm_utia", good, "--ntheta", 8, "--nphi", 16)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ok" in r.stdout
+
+    # a violating one
+    hot = Lambert(reflectance=jnp.asarray([3.0, 3.0, 3.0], jnp.float32))
+    bad = str(tmp_path / "bad.bin")
+    save_utia(bad, synth.bake_utia(hot.eval))
+    r = run_cli("dj_brdf_tpu.cli.nrm_utia", bad, "--ntheta", 8, "--nphi", 16)
+    assert r.returncode == 1
+    assert "FAILURE" in r.stdout
+
+
+def test_dmap_nmap_lean_cli(tmp_path):
+    from PIL import Image
+    h = w = 32
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dmap = (127.5 + 127.5 * np.sin(2 * np.pi * x / w)).astype(np.uint8)
+    dpath = str(tmp_path / "dmap.png")
+    Image.fromarray(dmap, "L").save(dpath)
+
+    npath = str(tmp_path / "nmap.png")
+    r = run_cli("dj_brdf_tpu.cli.dmap2nmap", dpath, "--scale", 0.05,
+                "-o", npath)
+    assert r.returncode == 0, r.stderr
+    nmap = np.asarray(Image.open(npath))
+    assert nmap.shape == (h, w, 3)
+    assert nmap[..., 2].min() > 100  # z mostly up
+
+    out1 = str(tmp_path / "lean1.npy")
+    out2 = str(tmp_path / "lean2.npy")
+    r = run_cli("dj_brdf_tpu.cli.nmap2leanmap", npath,
+                "--base-roughness", 0.1, "--out1", out1, "--out2", out2)
+    assert r.returncode == 0, r.stderr
+    l1 = np.load(out1)
+    l2 = np.load(out2)
+    assert l1.shape == (h, w, 4) and l2.shape == (h, w, 4)
+    # E3 >= E1^2 (variance non-negative w/ base roughness)
+    assert (l2[..., 0] - l1[..., 0] ** 2 > 0).all()
+
+
+def test_render_cli(tmp_path, merl_file):
+    out = str(tmp_path / "r.png")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx",
+                "--alpha1", 0.3, "--alpha2", 0.1, "--res", 64, "-o", out)
+    assert r.returncode == 0, r.stderr
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 30
+
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "merl", "--file",
+                merl_file, "--res", 48, "-o", out)
+    assert r.returncode == 0, r.stderr
+
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "sgd", "--material",
+                "chrome", "--res", 48, "-o", out)
+    assert r.returncode == 0, r.stderr
