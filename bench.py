@@ -20,13 +20,13 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from dj_brdf_tpu import fresnel
     from dj_brdf_tpu.core.math import from_spherical
-    from dj_brdf_tpu.fit.lsq import raw_init, make_loss
-    from dj_brdf_tpu.microfacet.ndf import GGX
+    from dj_brdf_tpu.ops import soa
+    from dj_brdf_tpu.ops.fused_fit import ggx_lsq_value_and_grad
 
     n = int(os.environ.get("BENCH_N", 1 << 22))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
@@ -36,19 +36,24 @@ def main() -> None:
                        jax.random.uniform(k2, (n,), maxval=6.28))
     o = from_spherical(jax.random.uniform(k3, (n,), minval=0.02, maxval=1.5),
                        jax.random.uniform(k4, (n,), maxval=6.28))
-    target = jnp.ones((n, 3), jnp.float32)
+    comp = soa.split_dirs(i, o)
+    pvec_true = jnp.asarray([0.25, 0.25, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
+                            jnp.float32)
+    tr, tg, tb = soa.ggx_evalp_soa(pvec_true, *comp)
+    pvec = jnp.asarray([0.4, 0.3, 0.1, 0.0, 0.0, 0.5, 0.5, 0.5], jnp.float32)
 
-    dist = GGX()
-    loss = make_loss(dist)
-    raw = raw_init()
-
-    # forward+backward: gradient of the fitting loss wrt all params
-    step = jax.jit(jax.value_and_grad(loss))
+    # fused Pallas forward+backward on TPU; XLA SoA elsewhere
+    if use_pallas and dev.platform != "cpu":
+        step = lambda: ggx_lsq_value_and_grad(pvec, *comp, tr, tg, tb,
+                                              block_rows=256)
+    else:
+        xla = jax.jit(jax.value_and_grad(soa.ggx_lsq_loss_soa))
+        step = lambda: xla(pvec, *comp, tr, tg, tb)
 
     def timed_round():
         t0 = time.perf_counter()
         for _ in range(iters):
-            val, grads = step(raw, i, o, target)
+            val, grads = step()
         # force a full device sync (incl. host readback) before stopping
         float(val)
         jax.block_until_ready(grads)

@@ -14,8 +14,16 @@ import numpy as np
 from dj_brdf_tpu.models.merl import RES_THETA_H, RES_THETA_D, RES_PHI_D
 
 
-def load_merl(path: str, dtype=np.float32) -> np.ndarray:
-    """Load a MERL .binary file -> (3, 90, 90, 180) raw (unscaled) array."""
+def load_merl(path: str, dtype=np.float32, use_native: bool = True) -> np.ndarray:
+    """Load a MERL .binary file -> (3, 90, 90, 180) raw (unscaled) array.
+    Uses the native djbio parser when built; numpy fallback otherwise."""
+    if use_native and dtype == np.float32:
+        try:
+            from dj_brdf_tpu.io import native
+            if native.available():
+                return native.load_merl(path)
+        except Exception:
+            pass
     with open(path, "rb") as f:
         dims = np.fromfile(f, dtype="<i4", count=3)
         n = int(dims[0]) * int(dims[1]) * int(dims[2])

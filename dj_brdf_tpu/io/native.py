@@ -1,0 +1,102 @@
+"""ctypes bindings for the native djbio data plane.
+
+Builds ``io/native/libdjbio.so`` on first use (g++, OpenMP) and exposes
+the native MERL/UTIA parsers and LEAN map builders. Every entry point
+has a pure-numpy fallback in :mod:`dj_brdf_tpu.io.merl_io` /
+``utia_io`` / :mod:`dj_brdf_tpu.lean.maps`, so the package works
+without a toolchain; the native path is the production loader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_SO = os.path.join(_DIR, "libdjbio.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def available() -> bool:
+    return os.path.exists(_SO) or shutil.which("g++") is not None
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        src = os.path.join(_DIR, "djbio.cpp")
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(src)):
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.djbio_load_merl.argtypes = [ctypes.c_char_p, f32p]
+        lib.djbio_load_merl.restype = ctypes.c_int
+        lib.djbio_load_utia.argtypes = [ctypes.c_char_p, f32p]
+        lib.djbio_load_utia.restype = ctypes.c_int
+        lib.djbio_dmap_to_nmap.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_float, ctypes.c_int, f32p]
+        lib.djbio_nmap_to_lean.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_float, ctypes.c_float,
+                                           f32p]
+        lib.djbio_lean_mip_reduce.argtypes = [f32p, ctypes.c_int,
+                                              ctypes.c_int, f32p]
+        _lib = lib
+        return lib
+
+
+def load_merl(path: str) -> np.ndarray:
+    """(3, 90, 90, 180) raw float32 table via the native parser."""
+    out = np.empty(3 * 90 * 90 * 180, np.float32)
+    rc = _load().djbio_load_merl(path.encode(), out)
+    if rc != 0:
+        raise ValueError(f"djbio_load_merl({path!r}) failed: {rc}")
+    return out.reshape(3, 90, 90, 180)
+
+
+def load_utia(path: str) -> np.ndarray:
+    """(3, 6, 48, 6, 48) normalized float32 table via the native parser."""
+    out = np.empty(3 * 6 * 48 * 6 * 48, np.float32)
+    rc = _load().djbio_load_utia(path.encode(), out)
+    if rc != 0:
+        raise ValueError(f"djbio_load_utia({path!r}) failed: {rc}")
+    return out.reshape(3, 6, 48, 6, 48)
+
+
+def dmap_to_nmap(dmap: np.ndarray, scale: float = 0.01,
+                 clamp_to_border: bool = False) -> np.ndarray:
+    dmap = np.ascontiguousarray(dmap, np.float32)
+    h, w = dmap.shape
+    out = np.empty((h, w, 3), np.float32)
+    _load().djbio_dmap_to_nmap(dmap, h, w, scale, int(clamp_to_border),
+                               out.reshape(-1))
+    return out
+
+
+def nmap_to_lean(nmap: np.ndarray, base_roughness: float = 1e-5,
+                 bias: float = 0.0) -> np.ndarray:
+    """Returns the 5 moment planes stacked as (5, h, w)."""
+    nmap = np.ascontiguousarray(nmap, np.float32)
+    h, w = nmap.shape[:2]
+    out = np.empty((5, h, w), np.float32)
+    _load().djbio_nmap_to_lean(nmap.reshape(-1), h, w, base_roughness, bias,
+                               out.reshape(-1))
+    return out
+
+
+def lean_mip_reduce(lean: np.ndarray) -> np.ndarray:
+    """(5, h, w) -> (5, h/2, w/2)."""
+    lean = np.ascontiguousarray(lean, np.float32)
+    _, h, w = lean.shape
+    out = np.empty((5, h // 2, w // 2), np.float32)
+    _load().djbio_lean_mip_reduce(lean.reshape(-1), h, w, out.reshape(-1))
+    return out

@@ -15,8 +15,16 @@ from dj_brdf_tpu.models.utia import NTI, NPI, NTV, NPV
 _COUNT = 3 * NTI * NPI * NTV * NPV
 
 
-def load_utia(path: str, dtype=np.float32) -> np.ndarray:
-    """Load a UTIA binary -> normalized (3, 6, 48, 6, 48) array."""
+def load_utia(path: str, dtype=np.float32, use_native: bool = True) -> np.ndarray:
+    """Load a UTIA binary -> normalized (3, 6, 48, 6, 48) array.
+    Uses the native djbio parser when built; numpy fallback otherwise."""
+    if use_native and dtype == np.float32:
+        try:
+            from dj_brdf_tpu.io import native
+            if native.available():
+                return native.load_utia(path)
+        except Exception:
+            pass
     data = np.fromfile(path, dtype="<f8", count=_COUNT)
     if data.size != _COUNT:
         raise ValueError(f"truncated UTIA file {path}")

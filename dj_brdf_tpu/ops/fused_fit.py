@@ -1,0 +1,108 @@
+"""Fused Pallas kernel: GGX fitting loss forward+backward in one pass.
+
+The fitting step's cost is one read of the sample batch (36 B/sample)
+plus ~300 flops; XLA's autodiff materializes forward residuals to HBM
+between the forward and backward passes, which caps throughput around
+1e9 evals/s/chip. This kernel keeps everything in VMEM: each grid step
+loads a tile of (i, o, target) components, evaluates the loss *and*
+its parameter gradient via an in-kernel VJP (residuals live in
+registers/VMEM), and writes one 16-lane partial row. The final
+(loss, grad) is a tiny sum over grid rows.
+
+Gradients are w.r.t. the 8 constrained parameters
+[ax, ay, rho, txn, tyn, f0r, f0g, f0b]; chain through
+``fit.lsq.raw_to_model`` happens outside (8 scalars — free).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dj_brdf_tpu.ops.soa import ggx_lsq_loss_soa
+
+LANES = 128
+_PAD = 16  # output lanes used: 1 loss + 8 grads
+
+
+def _kernel(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
+    pvec = pvec_ref[0, :8]
+    data = tuple(r[:] for r in (ix, iy, iz, ox, oy, oz, tr, tg, tb))
+    n_total = data[0].size
+
+    def f(pv):
+        # sum (not mean) so partials add across grid steps
+        return ggx_lsq_loss_soa(pv, *data) * n_total
+
+    val, vjp = jax.vjp(f, pvec)
+    (grad,) = vjp(jnp.float32(1.0))
+    row = jnp.concatenate([val[None], grad,
+                           jnp.zeros((LANES - 9,), jnp.float32)])
+    # TPU wants (8, 128)-aligned output tiles; rows 1-7 stay zero
+    out_ref[:] = jnp.concatenate([row[None, :],
+                                  jnp.zeros((7, LANES), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_rows", "interpret", "n_valid"))
+def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
+                           block_rows: int = 256, interpret: bool = False,
+                           n_valid: int | None = None):
+    """Returns (loss, grad(8,)) for the relative-L2 GGX+Schlick fit.
+
+    Inputs are flat f32 arrays whose size must be a multiple of
+    128*block_rows (pad with zero-contribution samples if needed; see
+    :func:`pad_to_block`, and pass the true count as ``n_valid``)."""
+    n = ix.size
+    rows = n // LANES
+    assert rows * LANES == n and rows % block_rows == 0, (n, block_rows)
+    grid = rows // block_rows
+
+    def reshape(a):
+        return a.reshape(rows, LANES)
+
+    data = [reshape(a) for a in (ix, iy, iz, ox, oy, oz, tr, tg, tb)]
+    pvec_pad = jnp.zeros((1, LANES), jnp.float32).at[0, :8].set(pvec)
+
+    in_specs = [pl.BlockSpec((1, LANES), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((block_rows, LANES), lambda g: (g, 0),
+                              memory_space=pltpu.VMEM)] * 9
+
+    partials = pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, LANES), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * 8, LANES), jnp.float32),
+        interpret=interpret,
+    )(pvec_pad, *data)
+
+    total = jnp.sum(partials, axis=0)
+    n_eff = jnp.float32(n if n_valid is None else n_valid)
+    return total[0] / n_eff, total[1:9] / n_eff
+
+
+def pad_to_block(arrays, targets, block_rows: int = 256):
+    """Pad sample arrays to a multiple of 128*block_rows with samples
+    whose target and prediction are forced to 0 (o below horizon), so
+    they contribute nothing to loss or grad; returns arrays + the
+    original count for correct mean normalization."""
+    n = arrays[0].size
+    unit = LANES * block_rows
+    n_pad = (-n) % unit
+    if n_pad == 0:
+        return arrays, targets, n
+    def pad(a, fill):
+        return jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+    # o = (0,0,-1): below horizon -> evalp = 0; target 0 -> loss term 0
+    ix, iy, iz, ox, oy, oz = arrays
+    arrays = (pad(ix, 0.0), pad(iy, 0.0), pad(iz, 1.0),
+              pad(ox, 0.0), pad(oy, 0.0), pad(oz, -1.0))
+    targets = tuple(pad(t, 0.0) for t in targets)
+    return arrays, targets, n

@@ -1,0 +1,72 @@
+"""Batch material fitting, checkpointing, profiling utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dj_brdf_tpu import fresnel
+from dj_brdf_tpu.fit import batch, lsq
+from dj_brdf_tpu.microfacet import brdf as mf
+from dj_brdf_tpu.microfacet.ndf import GGX
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+from dj_brdf_tpu.parallel.mesh import make_mesh
+
+
+def _targets_for(alphas, f0s, i, o):
+    def one(a, f0):
+        return mf.evalp(GGX(), fresnel.Schlick(f0=f0),
+                        MicrofacetParams.isotropic(a), i, o)
+    return jax.vmap(one)(alphas, f0s)
+
+
+def test_batch_fit_recovers_materials():
+    i, o = batch.sample_direction_set(jax.random.PRNGKey(0), 2048)
+    alphas = jnp.asarray([0.15, 0.35, 0.6], jnp.float32)
+    f0s = jnp.asarray([[0.9, 0.6, 0.3], [0.5, 0.5, 0.5], [0.2, 0.4, 0.8]],
+                      jnp.float32)
+    targets = _targets_for(alphas, f0s, i, o)
+    params, fres, losses = batch.fit_materials(targets, i, o, steps=300)
+    np.testing.assert_allclose(np.asarray(params.ax), np.asarray(alphas),
+                               rtol=0.08)
+    np.testing.assert_allclose(np.asarray(fres.f0), np.asarray(f0s), atol=0.08)
+    assert float(losses.max()) < 5e-3
+
+
+def test_batch_fit_sharded_matches_unsharded():
+    i, o = batch.sample_direction_set(jax.random.PRNGKey(1), 1024)
+    alphas = jnp.linspace(0.1, 0.7, 8)
+    f0s = jnp.broadcast_to(jnp.asarray([0.8, 0.6, 0.4]), (8, 3))
+    targets = _targets_for(alphas, f0s, i, o)
+    p1, _, l1 = batch.fit_materials(targets, i, o, steps=50)
+    mesh = make_mesh(8)
+    p2, _, l2 = batch.fit_materials(targets, i, o, steps=50, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(p1.ax), np.asarray(p2.ax),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-3,
+                               atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dj_brdf_tpu.utils import checkpoint
+    params = MicrofacetParams.elliptic(0.4, 0.2, 0.7)
+    fres = fresnel.SplineFresnel(points=jnp.linspace(0, 1, 30).reshape(10, 3))
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(path, {"params": params, "fresnel": fres})
+    restored = checkpoint.load_checkpoint(
+        path, like={"params": params, "fresnel": fres})
+    np.testing.assert_allclose(np.asarray(restored["params"].ax),
+                               np.asarray(params.ax))
+    np.testing.assert_allclose(np.asarray(restored["fresnel"].points),
+                               np.asarray(fres.points))
+    assert isinstance(restored["params"], MicrofacetParams)
+
+
+def test_throughput_meter():
+    from dj_brdf_tpu.utils.profiling import Throughput
+    meter = Throughput(items_per_call=100)
+    x = jnp.ones((100,))
+    for _ in range(3):
+        with meter:
+            y = x * 2
+            meter.sync(y)
+    assert meter.rate() > 0
