@@ -21,12 +21,18 @@ from dj_brdf_tpu.core import math as vecmath
 from dj_brdf_tpu.core import special, spline
 from dj_brdf_tpu import fresnel
 from dj_brdf_tpu.microfacet.params import MicrofacetParams
-from dj_brdf_tpu.microfacet.ndf import GGX, Beckmann, Tabular, TabularAnisotropic
+from dj_brdf_tpu.microfacet.ndf import (
+    GGX, GGXSphericalCaps, Beckmann, Tabular, TabularAnisotropic)
 from dj_brdf_tpu.microfacet import brdf as microfacet
 from dj_brdf_tpu.models.lambert import Lambert
 from dj_brdf_tpu.models.merl import Merl
 from dj_brdf_tpu.models.utia import Utia
 from dj_brdf_tpu.models.sgd import SGD
 from dj_brdf_tpu.models.abc_model import ABC
+from dj_brdf_tpu.render.materials import (
+    MicrofacetMaterial, MeasuredMaterial, CosineMaterial)
+from dj_brdf_tpu.lean.lrep import Lrep
+from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+from dj_brdf_tpu import io
 
 __version__ = "0.1.0"

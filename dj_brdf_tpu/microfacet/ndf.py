@@ -218,6 +218,31 @@ class GGX:
 
 
 @pytree_dataclass
+class GGXSphericalCaps(GGX):
+    """GGX with spherical-cap VNDF sampling (Dupuy & Benyoub,
+    "Sampling Visible GGX Normals with Spherical Caps", 2023,
+    arXiv:2306.05044): samples the visible half-vector directly from a
+    uniform spherical cap — 2 transcendentals instead of the
+    reference's 4-branch qf2 + rational qf3 (dj_brdf.h:2089-2146).
+    Identical distribution (VNDF) and pdf; strictly a faster sampler,
+    not present in the reference."""
+
+    def sample_vp22_std(self, u1, u2, k):
+        kz = k[..., 2]
+        phi = 2.0 * jnp.pi * u1
+        # uniform z on the cap [-kz, 1]
+        z = (1.0 - u2) * (1.0 + kz) - kz
+        sin_t = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+        cx = sin_t * jnp.cos(phi)
+        cy = sin_t * jnp.sin(phi)
+        # visible half-vector (un-normalized is fine for slopes)
+        hx = cx + k[..., 0]
+        hy = cy + k[..., 1]
+        hz = jnp.maximum(z + kz, 1e-12)
+        return -hx / hz, -hy / hz
+
+
+@pytree_dataclass
 class Tabular:
     """Isotropic tabulated distribution (reference djb::tabular,
     dj_brdf.h:2148-2176). Tables are device arrays produced by the

@@ -32,3 +32,16 @@ def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: call once per host before any jax use.
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects
+    under standard TPU pod env vars when args are None); afterwards
+    :func:`make_mesh` spans all hosts' devices and collectives ride
+    ICI within a slice / DCN across hosts."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

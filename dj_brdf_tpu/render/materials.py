@@ -1,0 +1,134 @@
+"""Renderer front-end materials — the plugin layer.
+
+The reference exposes its models to renderers through six Mitsuba BSDF
+plugins (mitsuba/dj_brdf.cpp, dj_beckmannconductor.cpp, dj_merl.cpp,
+dj_utia.cpp, dj_sgd.cpp, dj_abc.cpp). Here each becomes a pytree
+material with a uniform (evalp, sample, pdf, evalp_is) surface that a
+path tracer or our sphere renderer consumes:
+
+* :class:`MicrofacetMaterial` — dj_brdf: analytic distribution +
+  Fresnel + textured-capable params (dj_brdf.cpp:342-439).
+* :class:`MeasuredMaterial` — dj_merl/dj_sgd/dj_abc: measured/analytic
+  eval with a fitted-GGX-proxy VNDF sampler; weight = evalp/pdf
+  (dj_merl.cpp:56-101, dj_sgd.cpp:80-108, dj_abc.cpp:81-109).
+* :class:`CosineMaterial` — dj_utia: plain cosine-hemisphere sampling
+  (dj_utia.cpp:66-99; the reference brdf base defaults,
+  dj_brdf.h:830-845).
+* ``lean.filtered.FilteredBeckmannMaterial`` — dj_beckmannconductor.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dj_brdf_tpu.core.math import cosine_hemisphere_sample, dot, normalize
+from dj_brdf_tpu.core.pytree import pytree_dataclass
+from dj_brdf_tpu.microfacet import brdf as mf
+from dj_brdf_tpu.microfacet.ndf import GGX
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+
+
+@pytree_dataclass
+class MicrofacetMaterial:
+    """Analytic microfacet BSDF (the dj_brdf plugin): any distribution
+    + Fresnel + params; params leaves may be per-pixel textures."""
+
+    dist: object
+    fres: object
+    params: MicrofacetParams
+
+    def evalp(self, i, o):
+        return mf.evalp(self.dist, self.fres, self.params, i, o)
+
+    def sample(self, u1, u2, o):
+        return mf.sample(self.dist, self.params, u1, u2, o)
+
+    def pdf(self, i, o):
+        return mf.pdf(self.dist, self.params, i, o)
+
+    def evalp_is(self, u1, u2, o):
+        return mf.evalp_is(self.dist, self.fres, self.params, u1, u2, o)
+
+
+@pytree_dataclass
+class MeasuredMaterial:
+    """Measured (or analytic-fit) eval + importance sampling through a
+    fitted GGX proxy — the dj_merl render pattern."""
+
+    model: object                 # anything with .evalp(i, o)
+    proxy_params: MicrofacetParams
+    proxy_dist: object
+
+    @staticmethod
+    def from_merl(table, res: int = 90):
+        """Scene-load-time fit, like the dj_merl ctor
+        (mitsuba/dj_merl.cpp:29-33): ``tabular(merl, res, shadow=False)``
+        then ``fit_ggx_parameters``."""
+        from dj_brdf_tpu.fit import moments, tabular
+        from dj_brdf_tpu.models.merl import Merl
+        m = Merl(table=table)
+        tab, _ = tabular.build_tabular(m.eval, res, shadow=False)
+        return MeasuredMaterial(model=m,
+                                proxy_params=moments.fit_ggx_parameters(tab),
+                                proxy_dist=GGX())
+
+    @staticmethod
+    def from_model(model, res: int = 90):
+        """dj_sgd/dj_abc pattern: proxy from tabular(model, res)
+        (mitsuba/dj_sgd.cpp:29-31)."""
+        from dj_brdf_tpu.fit import moments, tabular
+        tab, _ = tabular.build_tabular(model.eval, res)
+        return MeasuredMaterial(model=model,
+                                proxy_params=moments.fit_ggx_parameters(tab),
+                                proxy_dist=GGX())
+
+    def evalp(self, i, o):
+        return self.model.evalp(i, o)
+
+    def sample(self, u1, u2, o):
+        return mf.sample(self.proxy_dist, self.proxy_params, u1, u2, o)
+
+    def pdf(self, i, o):
+        return mf.pdf(self.proxy_dist, self.proxy_params, i, o)
+
+    def evalp_is(self, u1, u2, o):
+        """weight = evalp/pdf (dj_merl.cpp:86-99)."""
+        i = self.sample(u1, u2, o)
+        p = self.pdf(i, o)
+        safe = jnp.maximum(p, 1e-12)
+        ok = (p > 0.0) & (i[..., 2] > 0.0)
+        w = jnp.where(ok[..., None], self.evalp(i, o) / safe[..., None], 0.0)
+        return w, i, jnp.where(ok, p, 0.0)
+
+
+@pytree_dataclass
+class CosineMaterial:
+    """Cosine-hemisphere sampling around any model (dj_utia pattern;
+    reference defaults dj_brdf.h:830-845)."""
+
+    model: object
+
+    def evalp(self, i, o):
+        return self.model.evalp(i, o)
+
+    def sample(self, u1, u2, o):
+        return cosine_hemisphere_sample(u1, u2)
+
+    def pdf(self, i, o):
+        return jnp.maximum(i[..., 2], 0.0) / jnp.pi
+
+    def evalp_is(self, u1, u2, o):
+        i = self.sample(u1, u2, o)
+        p = self.pdf(i, o)
+        safe = jnp.maximum(p, 1e-12)
+        ok = p > 0.0
+        w = jnp.where(ok[..., None], self.evalp(i, o) / safe[..., None], 0.0)
+        return w, i, p
+
+
+def eval_hd(model, h, d):
+    """Evaluate any material in half/diff coordinates (reference
+    brdf::eval_hd, dj_brdf.h:795-801)."""
+    from dj_brdf_tpu.core.math import hd_to_io
+    i, o = hd_to_io(h, d)
+    return model.evalp(i, o) / jnp.maximum(i[..., 2:3], 1e-12)
