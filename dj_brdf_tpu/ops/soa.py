@@ -28,6 +28,11 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
     txn, tyn = pvec[3], pvec[4]
     f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
     s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    # scalar reciprocals hoisted out of the per-element chain
+    inv_ax = 1.0 / ax
+    inv_axays = 1.0 / (ax * ay * s)
+    ay_rho = ay * rho
+    ay_s = ay * s
 
     hx, hy, hz = ix + ox, iy + oy, iz + oz
     hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
@@ -35,8 +40,8 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
 
     def sigma(kx, ky, kz):
         # warp + closed-form GGX sigma_std (dj_brdf.h:1620-1631, 2062-2065)
-        a = kx * ax + ky * ay * rho
-        b = ky * ay * s
+        a = kx * ax + ky * ay_rho
+        b = ky * ay_s
         c = kz - kx * txn - ky * tyn
         nrm = jnp.sqrt(a * a + b * b + c * c)
         return (nrm + c) * 0.5, c
@@ -50,17 +55,19 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
     g = jnp.where((tmp > 0) & (jnp.abs(den) >= 1e-12),
                   tmp / jnp.where(jnp.abs(den) < 1e-12, 1.0, den), 0.0)
 
-    # ndf (dj_brdf.h:1559-1587): slopes, affine warp, GGX p22
+    # ndf (dj_brdf.h:1559-1587): slopes, affine warp, GGX p22 — one
+    # per-element reciprocal (inv_hz) covers slopes and the cos^4
     valid_h = hz > 1e-4
-    hzs = jnp.where(valid_h, hz, 1.0)
-    sx = -hx / hzs - txn
-    sy = -hy / hzs - tyn
-    x_ = sx / ax
-    y_ = (ax * sy - rho * ay * sx) / (ax * ay * s)
+    inv_hz = 1.0 / jnp.where(valid_h, hz, 1.0)
+    sx = -hx * inv_hz - txn
+    sy = -hy * inv_hz - tyn
+    x_ = sx * inv_ax
+    y_ = (ax * sy - ay_rho * sx) * inv_axays
     r2 = x_ * x_ + y_ * y_
     t1 = 1.0 + r2
-    p22 = 1.0 / (jnp.pi * t1 * t1) / (ax * ay * s)
-    d = jnp.where(valid_h, p22 / (hzs ** 4), 0.0)
+    inv_hz2 = inv_hz * inv_hz
+    d_num = (1.0 / jnp.pi) * inv_axays * (inv_hz2 * inv_hz2)
+    d = jnp.where(valid_h, d_num / (t1 * t1), 0.0)
 
     cosd = jnp.clip(ox * hx + oy * hy + oz * hz, 0.0, 1.0)
     c1 = 1.0 - cosd
