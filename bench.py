@@ -66,12 +66,63 @@ def main() -> None:
 
     evals_per_s = n * iters / dt
     print(f"# {n} evals x {iters} iters in {dt:.3f}s", file=sys.stderr)
+
+    # secondary metrics (stderr): MERL table eval + power-iteration rate
+    if os.environ.get("BENCH_SECONDARY", "1") == "1":
+        try:
+            _secondary_metrics(i, o, iters)
+        except Exception as e:  # keep the primary metric robust
+            print(f"# secondary metrics failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "ggx_evalp_fwdbwd_evals_per_s_per_chip",
         "value": evals_per_s,
         "unit": "evals/s",
         "vs_baseline": evals_per_s / 1e9,
     }))
+
+
+def _secondary_metrics(i, o, iters: int) -> None:
+    import numpy as np
+    from dj_brdf_tpu.models.merl import Merl
+
+    n = i.shape[0]
+    # synthetic MERL table resident in HBM (values irrelevant for perf)
+    table = jnp.asarray(
+        np.random.default_rng(0).random((3, 90, 90, 180), np.float32))
+    m = Merl(table=table)
+    ev = jax.jit(m.evalp)
+    out = ev(i, o)
+    jax.block_until_ready(out)
+
+    def rnd():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = ev(i, o)
+        float(out[0, 0])
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    rnd()
+    dt = min(rnd() for _ in range(3))
+    print(f"# merl_eval_evals_per_s: {n * iters / dt:.3e}", file=sys.stderr)
+
+    # power-iteration matvec rate on the 8010^2 anisotropic kernel size
+    rows = 8010 - 8010 % 2
+    A = jnp.asarray(
+        np.random.default_rng(1).random((rows, rows), np.float32))
+    v0 = jnp.ones((rows,), jnp.float32)
+    mv = jax.jit(lambda v: A @ v)
+    v = mv(v0)
+    jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    v = v0
+    for _ in range(50):
+        v = mv(v)
+    jax.block_until_ready(v)
+    dt = time.perf_counter() - t0
+    print(f"# power_iteration_matvecs_per_s (n={rows}): {50 / dt:.1f}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -211,3 +211,33 @@ def test_noncentral_mean_normal_shifts_ndf_peak():
     d_peak = mf.ndf(dist, params, n)
     d_up = mf.ndf(dist, params, jnp.asarray([0.0, 0.0, 1.0]))
     assert float(d_peak) > float(d_up)
+
+
+def test_tabular_nmap_sampler_matches_source_distribution(rng):
+    """The tabulated distribution's cdf/qf ("nmap") sampler should
+    reproduce the source GGX's NDF-sampled half-vector statistics."""
+    from dj_brdf_tpu import fresnel as fm
+    from dj_brdf_tpu.fit import tabular as ft
+
+    alpha = 0.4
+    src = GGX()
+    eval_fn = ft.microfacet_eval_fn(src, fm.Ideal(),
+                                    MicrofacetParams.isotropic(alpha))
+    tab, _ = ft.build_tabular(eval_fn, 90, shadow=False)
+
+    n = 200000
+    u1 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    k = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+    # sample slopes from the tabulated qf tables
+    sx_t, sy_t = tab.sample_vp22_std(u1, u2, k)
+    r_tab = jnp.sqrt(sx_t ** 2 + sy_t ** 2)
+    # analytic GGX nmap sampling at the *fitted* roughness: the
+    # tabulation pipeline carries its known bias, so compare against
+    # the alpha it actually encodes
+    from dj_brdf_tpu.fit import moments
+    a_fit = float(moments.fit_ggx_parameters(tab).ax)
+    r_ggx = src.qf_radial(u2) * a_fit
+    # compare medians (heavy-tailed; mean diverges)
+    np.testing.assert_allclose(float(jnp.median(r_tab)),
+                               float(jnp.median(r_ggx)), rtol=0.05)
