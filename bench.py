@@ -5,7 +5,8 @@ evals/s/chip north-star target (BASELINE.md).
 
 Run on the real TPU: `python bench.py`. Optional env:
   BENCH_N        batch size per step   (default 2^22)
-  BENCH_ITERS    timed iterations      (default 20)
+  BENCH_ITERS    timed iterations      (default 50; keep high enough to
+                 amortize the per-dispatch latency of tunneled devices)
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def main() -> None:
     from dj_brdf_tpu.ops.fused_fit import ggx_lsq_value_and_grad
 
     n = int(os.environ.get("BENCH_N", 1 << 22))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 50))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -83,13 +84,14 @@ def main() -> None:
 
 
 def _secondary_metrics(i, o, iters: int) -> None:
-    import numpy as np
     from dj_brdf_tpu.models.merl import Merl
 
     n = i.shape[0]
-    # synthetic MERL table resident in HBM (values irrelevant for perf)
-    table = jnp.asarray(
-        np.random.default_rng(0).random((3, 90, 90, 180), np.float32))
+    # synthetic MERL table resident in HBM (values irrelevant for perf);
+    # generated on-device — host->device of big arrays is slow over a
+    # tunneled device link
+    table = jax.random.uniform(jax.random.PRNGKey(0), (3, 90, 90, 180),
+                               jnp.float32)
     m = Merl(table=table)
     ev = jax.jit(m.evalp)
     out = ev(i, o)
@@ -109,8 +111,7 @@ def _secondary_metrics(i, o, iters: int) -> None:
 
     # power-iteration matvec rate on the 8010^2 anisotropic kernel size
     rows = 8010 - 8010 % 2
-    A = jnp.asarray(
-        np.random.default_rng(1).random((rows, rows), np.float32))
+    A = jax.random.uniform(jax.random.PRNGKey(1), (rows, rows), jnp.float32)
     v0 = jnp.ones((rows,), jnp.float32)
     mv = jax.jit(lambda v: A @ v)
     v = mv(v0)
