@@ -18,13 +18,37 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True,
                     choices=["ggx", "beckmann", "lambert", "merl", "utia",
-                             "sgd", "abc", "merl_fit"])
-    ap.add_argument("--file", help="MERL/UTIA binary (merl/utia/merl_fit)")
+                             "sgd", "abc", "merl_fit", "merl_tab",
+                             "utia_fit", "lean"])
+    ap.add_argument("--file", help="MERL/UTIA binary "
+                                   "(merl/utia/merl_fit/merl_tab/utia_fit)")
     ap.add_argument("--material", help="material name (sgd/abc)")
     ap.add_argument("--alpha1", type=float, default=0.3)
     ap.add_argument("--alpha2", type=float, default=None)
     ap.add_argument("--alpha-angle", type=float, default=0.0)
     ap.add_argument("--f0", type=float, nargs=3, default=[1.0, 1.0, 1.0])
+    ap.add_argument("--fit-res", type=int, default=90,
+                    help="tabulation resolution for *_fit/merl_tab "
+                         "(reference uses 90)")
+    ap.add_argument("--conductor", action="store_true",
+                    help="multiply exact conductor Fresnel on top "
+                         "(the dj_brdf plugin's Mitsuba-Fresnel path, "
+                         "mitsuba/dj_brdf.cpp:366)")
+    ap.add_argument("--eta", type=float, nargs=3,
+                    default=[0.143, 0.375, 1.442],  # gold
+                    help="conductor ior (lean/--conductor)")
+    ap.add_argument("--k", type=float, nargs=3,
+                    default=[3.983, 2.386, 1.603],
+                    help="conductor extinction (lean/--conductor)")
+    ap.add_argument("--leanmap1", help="E1,E2 map .npy (lean)")
+    ap.add_argument("--leanmap2", help="E3,E4,E5 map .npy (lean)")
+    ap.add_argument("--dmap-scale", type=float, default=1.0)
+    ap.add_argument("--naive-mip", action="store_true",
+                    help="disable LEAN filtering (leanFiltering=false)")
+    ap.add_argument("--biased", action="store_true",
+                    help="maps carry the +25/+625 storage bias")
+    ap.add_argument("--mip", type=int, default=0,
+                    help="LEAN mip level to shade with")
     ap.add_argument("--light", type=float, nargs=3, default=[0.3, 0.4, 0.8])
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--exposure", type=float, default=1.0)
@@ -81,9 +105,91 @@ def main(argv=None) -> int:
         from dj_brdf_tpu.io.merl_io import load_merl
         from dj_brdf_tpu.models.merl import Merl
         m = Merl(table=jnp.asarray(load_merl(args.file)))
-        tab, tab_fres = tabular.build_tabular(m.eval, 90, shadow=False)
+        tab, tab_fres = tabular.build_tabular(m.eval, args.fit_res,
+                                              shadow=False)
         p = moments.fit_ggx_parameters(tab)
         mat = MicrofacetMaterial(dist=GGX(), fres=tab_fres, params=p)
+    elif args.model == "merl_tab":
+        # the dj_brdf plugin with distribution="tabular" + merl: render
+        # the extracted tabulated NDF itself with the extracted Fresnel
+        # (mitsuba/dj_brdf.cpp:208-233)
+        from dj_brdf_tpu.fit import tabular
+        from dj_brdf_tpu.io.merl_io import load_merl
+        from dj_brdf_tpu.models.merl import Merl
+        m = Merl(table=jnp.asarray(load_merl(args.file)))
+        tab, tab_fres = tabular.build_tabular(m.eval, args.fit_res)
+        mat = MicrofacetMaterial(dist=tab, fres=tab_fres,
+                                 params=MicrofacetParams.standard())
+    elif args.model == "utia_fit":
+        # the dj_brdf plugin's UTIA path: anisotropic tabulation at
+        # scene load, base roughness from the anisotropic moment fit
+        # (mitsuba/dj_brdf.cpp:234-259)
+        from dj_brdf_tpu.fit import moments, tabular_aniso
+        from dj_brdf_tpu.io.utia_io import load_utia
+        from dj_brdf_tpu.models.utia import Utia
+        u = Utia(table=jnp.asarray(load_utia(args.file)))
+        tab, tab_fres = tabular_aniso.build_tabular_anisotropic(
+            u.eval, args.fit_res, args.fit_res)
+        p = moments.fit_beckmann_parameters_anisotropic(tab)
+        mat = MicrofacetMaterial(dist=Beckmann(), fres=tab_fres, params=p)
+    elif args.model == "lean":
+        # the dj_beckmannconductor plugin: LEAN maps + base roughness +
+        # exact conductor Fresnel (mitsuba/dj_beckmannconductor.cpp)
+        if not (args.leanmap1 and args.leanmap2):
+            ap.error("--model lean requires --leanmap1 and --leanmap2")
+        from dj_brdf_tpu.lean.lrep import Lrep
+        from dj_brdf_tpu.lean.maps import build_mip_pyramid
+        from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+        from dj_brdf_tpu.render.sphere import (sample_texture,
+                                               sphere_normals, sphere_uv)
+        m1 = jnp.asarray(np.load(args.leanmap1), jnp.float32)
+        m2 = jnp.asarray(np.load(args.leanmap2), jnp.float32)
+        lean = Lrep(E1=m1[..., 0], E2=m1[..., 1], E3=m2[..., 0],
+                    E4=m2[..., 1], E5=m2[..., 2])
+        if args.mip > 0:
+            pyramid = build_mip_pyramid(lean)
+            lean = pyramid[min(args.mip, len(pyramid) - 1)]
+        # per-pixel moments: sample the maps at the sphere's UVs
+        n, _ = sphere_normals(args.res)
+        uu, vv = sphere_uv(n)
+        lean = jax.tree.map(lambda t: sample_texture(t, uu, vv), lean)
+        mat = FilteredBeckmannMaterial(
+            lean=lean, base_params=params,
+            eta=jnp.asarray(args.eta, jnp.float32),
+            k=jnp.asarray(args.k, jnp.float32),
+            dmap_scale=jnp.float32(args.dmap_scale),
+            lean_filtering=not args.naive_mip, biased=args.biased)
+
+    if args.conductor and isinstance(mat, MicrofacetMaterial):
+        # fresnelConductorExact multiplied on top (dj_brdf.cpp:366, 430)
+        from dj_brdf_tpu.core.math import dot, normalize
+        from dj_brdf_tpu.fresnel import conductor_fresnel
+        eta = jnp.asarray(args.eta, jnp.float32)
+        kk = jnp.asarray(args.k, jnp.float32)
+        inner = mat
+
+        class _CondWrap:
+            def evalp(self, i, o):
+                h = normalize(i + o, eps=1e-24)
+                f = conductor_fresnel(jnp.clip(dot(o, h), 0.0, 1.0), eta, kk)
+                return inner.evalp(i, o) * f
+
+            def sample(self, u1, u2, o):
+                return inner.sample(u1, u2, o)
+
+            def pdf(self, i, o):
+                return inner.pdf(i, o)
+
+            def evalp_is(self, u1, u2, o):
+                i = self.sample(u1, u2, o)
+                p = self.pdf(i, o)
+                safe = jnp.maximum(p, 1e-12)
+                ok = (p > 0.0) & (i[..., 2] > 0.0)
+                w = jnp.where(ok[..., None],
+                              self.evalp(i, o) / safe[..., None], 0.0)
+                return w, i, jnp.where(ok, p, 0.0)
+
+        mat = _CondWrap()
 
     if args.pathtrace:
         from dj_brdf_tpu.render.pathtrace import render as pt_render

@@ -50,6 +50,26 @@ def world_to_local(n, v):
     return vec3(dot(v, t), dot(v, bt), dot(v, n))
 
 
+def sphere_uv(n):
+    """Spherical UVs of unit normals: u = phi/2pi in [0,1), v = theta/pi.
+    Used to map textures (roughness, LEAN moments) onto the preview
+    sphere, the role Mitsuba's uv/dudx footprints play for the textured
+    plugins (mitsuba/dj_beckmannconductor.cpp:285-297)."""
+    theta = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(n[..., 1], n[..., 0])
+    u = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+    return u, theta / jnp.pi
+
+
+def sample_texture(tex, u, v):
+    """Nearest-texel lookup of an (H, W, ...) texture at normalized uv
+    (differentiable w.r.t. the texels)."""
+    h, w = tex.shape[0], tex.shape[1]
+    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    return tex[yi, xi]
+
+
 def render_sphere(evalp_fn, light_dir, res: int = 256,
                   light_radiance=(1.0, 1.0, 1.0), view_dir=(0.0, 0.0, 1.0)):
     """Shade a directly lit sphere.

@@ -138,3 +138,53 @@ def test_render_cli(tmp_path, merl_file):
     r = run_cli("dj_brdf_tpu.cli.render", "--model", "sgd", "--material",
                 "chrome", "--res", 48, "-o", out)
     assert r.returncode == 0, r.stderr
+
+
+def test_render_cli_tab_and_fit(tmp_path, merl_file):
+    out = str(tmp_path / "r.png")
+    # distribution="tabular" path (dj_brdf.cpp:208-233)
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "merl_tab", "--file",
+                merl_file, "--fit-res", 32, "--res", 48, "-o", out)
+    assert r.returncode == 0, r.stderr
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.shape == (48, 48, 3) and img.max() > 10
+
+    # UTIA anisotropic fit path (dj_brdf.cpp:234-259)
+    from dj_brdf_tpu.models.lambert import Lambert
+    lam = Lambert(reflectance=jnp.asarray([0.6, 0.6, 0.6], jnp.float32))
+    upath = str(tmp_path / "u.bin")
+    save_utia(upath, synth.bake_utia(lam.eval))
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "utia_fit", "--file",
+                upath, "--fit-res", 8, "--res", 32, "-o", out)
+    assert r.returncode == 0, r.stderr
+
+    # conductor Fresnel on top (dj_brdf.cpp:366)
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx", "--alpha1", 0.2,
+                "--conductor", "--res", 32, "-o", out)
+    assert r.returncode == 0, r.stderr
+
+
+def test_render_cli_lean(tmp_path):
+    # build lean maps from a procedural normal map, then shade with them
+    from PIL import Image
+    h = w = 32
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dmap = (127.5 + 127.5 * np.sin(2 * np.pi * x / w)).astype(np.uint8)
+    dpath = str(tmp_path / "d.png")
+    Image.fromarray(dmap, "L").save(dpath)
+    npath = str(tmp_path / "n.png")
+    assert run_cli("dj_brdf_tpu.cli.dmap2nmap", dpath, "--scale", 0.08,
+                   "-o", npath).returncode == 0
+    l1, l2 = str(tmp_path / "l1.npy"), str(tmp_path / "l2.npy")
+    assert run_cli("dj_brdf_tpu.cli.nmap2leanmap", npath,
+                   "--base-roughness", 0.15, "--out1", l1,
+                   "--out2", l2).returncode == 0
+
+    out = str(tmp_path / "lean.png")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "lean",
+                "--leanmap1", l1, "--leanmap2", l2, "--alpha1", 0.1,
+                "--mip", 1, "--res", 32, "-o", out)
+    assert r.returncode == 0, r.stderr
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 32, 3) and img.max() > 10
