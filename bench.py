@@ -1,12 +1,25 @@
-"""Headline benchmark: GGX microfacet evalp forward+backward throughput
-per chip (the reference's hot loop, dj_brdf.h:1529-1547, as one fused
-XLA program). Prints ONE JSON line; vs_baseline is against the 1e9
-evals/s/chip north-star target (BASELINE.md).
+"""Benchmarks. Headline: GGX microfacet evalp forward+backward
+throughput per chip (the reference's hot loop, dj_brdf.h:1529-1547, as
+one fused Pallas kernel). Prints ONE JSON line; vs_baseline is against
+the 1e9 evals/s/chip north-star target (BASELINE.md).
+
+Secondary metrics (stderr `# name: value`): measured-table eval
+throughput (MERL dj_brdf.h:987-1024, UTIA 1063-1157), VNDF sampling
+hot loops (Beckmann Newton qf2 dj_brdf.h:1897-1952, GGX closed form
+2089-2146, spherical-caps variant), path-tracer pixel rate, and the
+anisotropic power-iteration matvec (dj_brdf.h:2467-2480 at the
+production 90x90 kernel size).
+
+Timing methodology: every measured step ends in a scalar readback
+(`float(...)`) — on tunneled devices `block_until_ready` alone does
+NOT reliably wait for execution, and async dispatch makes loop timing
+meaningless without a final sync through the result value.
 
 Run on the real TPU: `python bench.py`. Optional env:
   BENCH_N        batch size per step   (default 2^22)
-  BENCH_ITERS    timed iterations      (default 50; keep high enough to
-                 amortize the per-dispatch latency of tunneled devices)
+  BENCH_ITERS    timed iterations      (default 20)
+  BENCH_SECONDARY=0   skip secondary metrics
+  BENCH_ANISO=0       skip the 90x90 anisotropic fit timing
 """
 
 from __future__ import annotations
@@ -20,23 +33,50 @@ import jax
 import jax.numpy as jnp
 
 
-def main() -> None:
+def _timeit(step, iters: int, rounds: int = 3) -> float:
+    """Best-of-rounds wall time for `iters` calls of step(), syncing
+    through a scalar readback of step's return value."""
+    float(step())  # warmup (compile + first dispatch)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(iters):
+            s = step()
+        float(s)  # force full device sync + readback
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _rand_dirs(key, n):
     from dj_brdf_tpu.core.math import from_spherical
+    k1, k2 = jax.random.split(key)
+    return from_spherical(jax.random.uniform(k1, (n,), minval=0.02, maxval=1.5),
+                          jax.random.uniform(k2, (n,), maxval=2 * jnp.pi))
+
+
+def main() -> None:
+    # persistent compile cache: the anisotropic-fit programs take
+    # minutes to compile on a tunneled device; cache across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from dj_brdf_tpu.ops import soa
     from dj_brdf_tpu.ops.fused_fit import ggx_lsq_value_and_grad
 
     n = int(os.environ.get("BENCH_N", 1 << 22))
-    iters = int(os.environ.get("BENCH_ITERS", 50))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    i = from_spherical(jax.random.uniform(k1, (n,), minval=0.02, maxval=1.5),
-                       jax.random.uniform(k2, (n,), maxval=6.28))
-    o = from_spherical(jax.random.uniform(k3, (n,), minval=0.02, maxval=1.5),
-                       jax.random.uniform(k4, (n,), maxval=6.28))
+    ki, ko, kt = jax.random.split(key, 3)
+    i = _rand_dirs(ki, n)
+    o = _rand_dirs(ko, n)
     comp = soa.split_dirs(i, o)
     pvec_true = jnp.asarray([0.25, 0.25, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
                             jnp.float32)
@@ -45,35 +85,23 @@ def main() -> None:
 
     # fused Pallas forward+backward on TPU; XLA SoA elsewhere
     if use_pallas and dev.platform != "cpu":
-        step = lambda: ggx_lsq_value_and_grad(pvec, *comp, tr, tg, tb,
-                                              block_rows=256)
+        def step():
+            val, grads = ggx_lsq_value_and_grad(pvec, *comp, tr, tg, tb,
+                                                block_rows=256)
+            return val + grads[0]
     else:
         xla = jax.jit(jax.value_and_grad(soa.ggx_lsq_loss_soa))
-        step = lambda: xla(pvec, *comp, tr, tg, tb)
 
-    def timed_round():
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            val, grads = step()
-        # force a full device sync (incl. host readback) before stopping
-        float(val)
-        jax.block_until_ready(grads)
-        return time.perf_counter() - t0
+        def step():
+            val, grads = xla(pvec, *comp, tr, tg, tb)
+            return val + grads[0]
 
-    # round 0 pays compile + first-execution warmup on the remote
-    # device; take the best of the following rounds
-    timed_round()
-    dt = min(timed_round() for _ in range(3))
-
+    dt = _timeit(step, iters)
     evals_per_s = n * iters / dt
     print(f"# {n} evals x {iters} iters in {dt:.3f}s", file=sys.stderr)
 
-    # secondary metrics (stderr): MERL table eval + power-iteration rate
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
-        try:
-            _secondary_metrics(i, o, iters)
-        except Exception as e:  # keep the primary metric robust
-            print(f"# secondary metrics failed: {e}", file=sys.stderr)
+        _secondary_metrics(i, o, n, iters)
 
     print(json.dumps({
         "metric": "ggx_evalp_fwdbwd_evals_per_s_per_chip",
@@ -83,47 +111,127 @@ def main() -> None:
     }))
 
 
-def _secondary_metrics(i, o, iters: int) -> None:
+def _metric(name, fn):
+    try:
+        v = fn()
+        print(f"# {name}: {v:.3e}", file=sys.stderr)
+    except Exception as e:  # keep the primary metric robust
+        print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+
+def _secondary_metrics(i, o, n, iters: int) -> None:
+    from dj_brdf_tpu import fresnel
+    from dj_brdf_tpu.microfacet import brdf as mf
+    from dj_brdf_tpu.microfacet.ndf import GGX, GGXSphericalCaps, Beckmann
+    from dj_brdf_tpu.microfacet.params import MicrofacetParams
     from dj_brdf_tpu.models.merl import Merl
+    from dj_brdf_tpu.models.utia import Utia
 
-    n = i.shape[0]
-    # synthetic MERL table resident in HBM (values irrelevant for perf);
-    # generated on-device — host->device of big arrays is slow over a
-    # tunneled device link
-    table = jax.random.uniform(jax.random.PRNGKey(0), (3, 90, 90, 180),
+    key = jax.random.PRNGKey(7)
+    ku1, ku2, kt1, kt2 = jax.random.split(key, 4)
+    u1 = jax.random.uniform(ku1, (n,))
+    u2 = jax.random.uniform(ku2, (n,))
+
+    # --- measured-table eval (synthetic tables resident in HBM; the
+    # values are irrelevant for perf and generating on-device avoids a
+    # slow host->device push over the tunnel). Models are passed as jit
+    # ARGUMENTS: closure-captured tables hit XLA's constant-gather
+    # pathology (~600x slower + minutes of compile; DESIGN.md §6).
+    m = Merl(table=jax.random.uniform(kt1, (3, 90, 90, 180), jnp.float32))
+    merl_step = jax.jit(lambda m, i, o: m.evalp(i, o).sum())
+
+    def merl_eval():
+        dt = _timeit(lambda: merl_step(m, i, o), iters)
+        return n * iters / dt
+    _metric("merl_eval_evals_per_s", merl_eval)
+
+    u = Utia.build(jax.random.uniform(kt2, (3, 6, 48, 6, 48), jnp.float32)
+                   * 0.1)
+    utia_step = jax.jit(lambda u, i, o: u.evalp(i, o).sum())
+
+    def utia_eval():
+        dt = _timeit(lambda: utia_step(u, i, o), iters)
+        return n * iters / dt
+    _metric("utia_eval_evals_per_s", utia_eval)
+
+    # --- VNDF sampling hot loop: sample + evalp_is weight
+    # (dj_brdf.h:1734-1765; Beckmann Newton solver 1897-1952, GGX
+    # closed forms 2089-2146, spherical-caps sampler ndf.py)
+    params = MicrofacetParams.elliptic(0.3, 0.15, 0.7)
+    fres = fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32))
+
+    def sample_rate(dist):
+        stp = jax.jit(lambda p, f, u1, u2, o: sum(
+            jnp.sum(x) for x in jax.tree_util.tree_leaves(
+                mf.evalp_is(dist, f, p, u1, u2, o))))
+        dt = _timeit(lambda: stp(params, fres, u1, u2, o), iters)
+        return n * iters / dt
+
+    _metric("beckmann_sample_evalp_is_per_s", lambda: sample_rate(Beckmann()))
+    _metric("ggx_sample_evalp_is_per_s", lambda: sample_rate(GGX()))
+    _metric("ggx_caps_sample_evalp_is_per_s",
+            lambda: sample_rate(GGXSphericalCaps()))
+
+    # --- path tracer (render/pathtrace.py; the reference delegates to
+    # Mitsuba's integrator around its BSDF plugins)
+    def pathtrace_rate():
+        from dj_brdf_tpu.render import materials, pathtrace
+        sphere = materials.MicrofacetMaterial(dist=GGX(), fres=fres,
+                                              params=params)
+        floor = materials.MicrofacetMaterial(
+            dist=Beckmann(),
+            fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+            params=MicrofacetParams.isotropic(0.5))
+        light = jnp.asarray([0.3, 0.4, 0.8], jnp.float32)
+        res, spp = 512, 8
+
+        def stp():
+            img = pathtrace.render(sphere, floor, light,
+                                   jnp.asarray([4.0, 4.0, 4.0]),
+                                   jnp.asarray([0.3, 0.35, 0.4]),
+                                   res=res, spp=spp, max_bounces=3)
+            return img.sum()
+        dt = _timeit(stp, max(1, iters // 4))
+        return res * res * spp * max(1, iters // 4) / dt
+    _metric("pathtrace_samples_per_s", pathtrace_rate)
+
+    # --- power-iteration matvec at the production aniso kernel size
+    # (8010^2, dj_brdf.h:2525-2579), on-device f32
+    def matvec_rate():
+        rows = 89 * 90
+        A = jax.random.uniform(jax.random.PRNGKey(1), (rows, rows),
                                jnp.float32)
-    m = Merl(table=table)
-    ev = jax.jit(m.evalp)
-    out = ev(i, o)
-    jax.block_until_ready(out)
+        mv = jax.jit(lambda A, v: A @ v)
+        v = jnp.ones((rows,), jnp.float32)
 
-    def rnd():
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = ev(i, o)
-        float(out[0, 0])
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
+        def stp():
+            x = v
+            for _ in range(4):
+                x = mv(A, x)
+            return x[0]
+        k = max(1, iters // 4)
+        dt = _timeit(stp, k)
+        return 4 * k / dt
+    _metric("power_iteration_matvecs_per_s_n8010", matvec_rate)
 
-    rnd()
-    dt = min(rnd() for _ in range(3))
-    print(f"# merl_eval_evals_per_s: {n * iters / dt:.3e}", file=sys.stderr)
+    # --- full anisotropic tabulation at production resolution 90x90
+    # (the reference's biggest workload, dj_brdf.h:2238-2273)
+    if os.environ.get("BENCH_ANISO", "1") == "1":
+        def aniso_wall():
+            from dj_brdf_tpu.fit.tabular_aniso import build_tabular_anisotropic
+            from dj_brdf_tpu.microfacet.params import MicrofacetParams as MP
+            dist0 = GGX()
+            fres0 = fresnel.Ideal()
+            p0 = MP.elliptic(0.3, 0.15, 0.4)
 
-    # power-iteration matvec rate on the 8010^2 anisotropic kernel size
-    rows = 8010 - 8010 % 2
-    A = jax.random.uniform(jax.random.PRNGKey(1), (rows, rows), jnp.float32)
-    v0 = jnp.ones((rows,), jnp.float32)
-    mv = jax.jit(lambda v: A @ v)
-    v = mv(v0)
-    jax.block_until_ready(v)
-    t0 = time.perf_counter()
-    v = v0
-    for _ in range(50):
-        v = mv(v)
-    jax.block_until_ready(v)
-    dt = time.perf_counter() - t0
-    print(f"# power_iteration_matvecs_per_s (n={rows}): {50 / dt:.1f}",
-          file=sys.stderr)
+            def eval_fn(di, do):
+                return mf.eval(dist0, fres0, p0, di, do)
+
+            t0 = time.perf_counter()
+            dist, _ = build_tabular_anisotropic(eval_fn, 90, 90)
+            float(dist.p22.sum())  # sync
+            return time.perf_counter() - t0
+        _metric("aniso_fit90_wall_seconds", aniso_wall)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ def main(argv=None) -> int:
         pf.write("# MERL Beckmann GGX\n")
         for path in args.files:
             m = Merl(table=jnp.asarray(load_merl(path)))
-            dist, _ = tabular.build_tabular(m.eval, args.res)
+            dist, _ = tabular.build_tabular(m, args.res)
             ab = float(moments.fit_beckmann_parameters(dist).ax)
             ag = float(moments.fit_ggx_parameters(dist).ax)
             name = os.path.splitext(os.path.basename(path))[0]

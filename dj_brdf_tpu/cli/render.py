@@ -105,7 +105,7 @@ def main(argv=None) -> int:
         from dj_brdf_tpu.io.merl_io import load_merl
         from dj_brdf_tpu.models.merl import Merl
         m = Merl(table=jnp.asarray(load_merl(args.file)))
-        tab, tab_fres = tabular.build_tabular(m.eval, args.fit_res,
+        tab, tab_fres = tabular.build_tabular(m, args.fit_res,
                                               shadow=False)
         p = moments.fit_ggx_parameters(tab)
         mat = MicrofacetMaterial(dist=GGX(), fres=tab_fres, params=p)
@@ -117,7 +117,7 @@ def main(argv=None) -> int:
         from dj_brdf_tpu.io.merl_io import load_merl
         from dj_brdf_tpu.models.merl import Merl
         m = Merl(table=jnp.asarray(load_merl(args.file)))
-        tab, tab_fres = tabular.build_tabular(m.eval, args.fit_res)
+        tab, tab_fres = tabular.build_tabular(m, args.fit_res)
         mat = MicrofacetMaterial(dist=tab, fres=tab_fres,
                                  params=MicrofacetParams.standard())
     elif args.model == "utia_fit":
@@ -127,9 +127,9 @@ def main(argv=None) -> int:
         from dj_brdf_tpu.fit import moments, tabular_aniso
         from dj_brdf_tpu.io.utia_io import load_utia
         from dj_brdf_tpu.models.utia import Utia
-        u = Utia(table=jnp.asarray(load_utia(args.file)))
+        u = Utia.build(jnp.asarray(load_utia(args.file)))
         tab, tab_fres = tabular_aniso.build_tabular_anisotropic(
-            u.eval, args.fit_res, args.fit_res)
+            u, args.fit_res, args.fit_res)
         p = moments.fit_beckmann_parameters_anisotropic(tab)
         mat = MicrofacetMaterial(dist=Beckmann(), fres=tab_fres, params=p)
     elif args.model == "lean":

@@ -67,7 +67,7 @@ class MeasuredMaterial:
         from dj_brdf_tpu.fit import moments, tabular
         from dj_brdf_tpu.models.merl import Merl
         m = Merl(table=table)
-        tab, _ = tabular.build_tabular(m.eval, res, shadow=False)
+        tab, _ = tabular.build_tabular(m, res, shadow=False)
         return MeasuredMaterial(model=m,
                                 proxy_params=moments.fit_ggx_parameters(tab),
                                 proxy_dist=GGX())
@@ -77,7 +77,7 @@ class MeasuredMaterial:
         """dj_sgd/dj_abc pattern: proxy from tabular(model, res)
         (mitsuba/dj_sgd.cpp:29-31)."""
         from dj_brdf_tpu.fit import moments, tabular
-        tab, _ = tabular.build_tabular(model.eval, res)
+        tab, _ = tabular.build_tabular(model, res)
         return MeasuredMaterial(model=model,
                                 proxy_params=moments.fit_ggx_parameters(tab),
                                 proxy_dist=GGX())

@@ -21,34 +21,39 @@ def available() -> bool:
         os.path.join(_REF, "dj_brdf.h"))
 
 
-def build() -> str:
-    """Compile once per source mtime."""
+def build(x64: bool = False) -> str:
+    """Compile once per source mtime. ``x64=True`` builds the
+    reference with DJB_USE_DOUBLE_PRECISION (dj_brdf.h:44-48) into a
+    separate binary for float64 parity tests."""
     src = os.path.join(_HERE, "harness.cpp")
-    os.makedirs(os.path.dirname(_BIN), exist_ok=True)
-    if (not os.path.exists(_BIN)
-            or os.path.getmtime(_BIN) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O2", f"-I{_REF}", "-o", _BIN, src, "-lm"],
-            check=True, capture_output=True)
-    return _BIN
+    out = _BIN + ("_x64" if x64 else "")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(src)):
+        cmd = ["g++", "-O2", f"-I{_REF}"]
+        if x64:
+            cmd.append("-DDJB_USE_DOUBLE_PRECISION=1")
+        subprocess.run(cmd + ["-o", out, src, "-lm"],
+                       check=True, capture_output=True)
+    return out
 
 
-def run(*args: str) -> str:
-    return subprocess.run([build(), *map(str, args)], check=True,
+def run(*args: str, x64: bool = False) -> str:
+    return subprocess.run([build(x64), *map(str, args)], check=True,
                           capture_output=True, text=True).stdout
 
 
-def run_floats(*args: str) -> np.ndarray:
+def run_floats(*args: str, x64: bool = False) -> np.ndarray:
     """Parse whitespace-separated float rows."""
-    out = run(*args)
+    out = run(*args, x64=x64)
     rows = [[float(x) for x in line.split()] for line in out.splitlines() if line]
     return np.asarray(rows)
 
 
-def run_sections(*args: str) -> dict:
+def run_sections(*args: str, x64: bool = False) -> dict:
     """Parse 'name count' sections of one value-row per line plus
     'name value' scalar lines."""
-    out = run(*args)
+    out = run(*args, x64=x64)
     sections: dict = {}
     lines = out.splitlines()
     k = 0

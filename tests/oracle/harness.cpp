@@ -15,13 +15,13 @@
 #include "dj_brdf.h"
 
 using djb::vec3;
-using djb::float_t;
+typedef djb::float_t ftype;
 
 // deterministic direction grid shared with the python side
 // (tests/oracle/__init__.py): theta in (0, 0.98*pi/2), phi in [0, 2pi)
 static vec3 grid_dir(int it, int nt, int ip, int np_) {
-    float_t theta = ((float_t)it + 0.5f) / (float_t)nt * (float_t)(M_PI / 2.0) * 0.98f;
-    float_t phi = (float_t)ip / (float_t)np_ * (float_t)(2.0 * M_PI);
+    ftype theta = ((ftype)it + 0.5f) / (ftype)nt * (ftype)(M_PI / 2.0) * 0.98f;
+    ftype phi = (ftype)ip / (ftype)np_ * (ftype)(2.0 * M_PI);
     return vec3(theta, phi);
 }
 
@@ -56,11 +56,11 @@ static void dump_sample(const djb::microfacet &fr,
     for (int a = 0; a < NU; ++a)
     for (int b = 0; b < NU; ++b)
     for (int c = 0; c < NT; ++c) {
-        float_t u1 = ((float_t)a + 0.5f) / (float_t)NU;
-        float_t u2 = ((float_t)b + 0.5f) / (float_t)NU;
+        ftype u1 = ((ftype)a + 0.5f) / (ftype)NU;
+        ftype u2 = ((ftype)b + 0.5f) / (ftype)NU;
         vec3 o = grid_dir(c, NT, 0, 1);
         vec3 i = fr.sample(u1, u2, o, &p);
-        float_t pdf = fr.pdf(i, o, &p);
+        ftype pdf = fr.pdf(i, o, &p);
         printf("%.9e %.9e %.9e %.9e\n",
                (double)i.x, (double)i.y, (double)i.z, (double)pdf);
     }
@@ -74,10 +74,10 @@ static djb::microfacet *make_dist(const char *name) {
 }
 
 static void dump_tabular(const djb::tabular &tab) {
-    const std::vector<float_t> &p22 = tab.get_p22v();
-    const std::vector<float_t> &sig = tab.get_sigmav();
-    const std::vector<float_t> &cdf = tab.get_cdfv();
-    const std::vector<float_t> &qf = tab.get_qfv();
+    const std::vector<ftype> &p22 = tab.get_p22v();
+    const std::vector<ftype> &sig = tab.get_sigmav();
+    const std::vector<ftype> &cdf = tab.get_cdfv();
+    const std::vector<ftype> &qf = tab.get_qfv();
     printf("p22 %d\n", (int)p22.size());
     for (size_t i = 0; i < p22.size(); ++i) printf("%.9e\n", (double)p22[i]);
     printf("sigma %d\n", (int)sig.size());
@@ -86,7 +86,7 @@ static void dump_tabular(const djb::tabular &tab) {
     for (size_t i = 0; i < cdf.size(); ++i) printf("%.9e\n", (double)cdf[i]);
     printf("qf %d\n", (int)qf.size());
     for (size_t i = 0; i < qf.size(); ++i) printf("%.9e\n", (double)qf[i]);
-    float_t ab, ag, dummy;
+    ftype ab, ag, dummy;
     djb::microfacet::params pb = djb::tabular::fit_beckmann_parameters(tab);
     djb::microfacet::params pg = djb::tabular::fit_ggx_parameters(tab);
     pb.get_ellipse(&ab, &dummy);
@@ -116,7 +116,7 @@ int main(int argc, char **argv) {
         djb::microfacet::params p =
             djb::microfacet::params::elliptic(atof(argv[3]), atof(argv[4]),
                                               atof(argv[5]));
-        p.set_location((float_t)atof(argv[6]), (float_t)atof(argv[7]));
+        p.set_location((ftype)atof(argv[6]), (ftype)atof(argv[7]));
         if (argc > 10)
             m->set_fresnel(djb::fresnel::schlick(
                 vec3(atof(argv[8]), atof(argv[9]), atof(argv[10]))));
@@ -127,7 +127,7 @@ int main(int argc, char **argv) {
         djb::microfacet::params p =
             djb::microfacet::params::elliptic(atof(argv[3]), atof(argv[4]),
                                               atof(argv[5]));
-        p.set_location((float_t)atof(argv[6]), (float_t)atof(argv[7]));
+        p.set_location((ftype)atof(argv[6]), (ftype)atof(argv[7]));
         dump_sample(*m, p);
     } else if (!strcmp(cmd, "eval_merl")) {
         djb::merl merl(argv[2]);
@@ -166,11 +166,11 @@ int main(int argc, char **argv) {
         djb::tabular_anisotropic tab(wrapped, elev, azim);
 
         int ep, ap;
-        const std::vector<float_t> &p22 = tab.get_p22v(&ep, &ap);
+        const std::vector<ftype> &p22 = tab.get_p22v(&ep, &ap);
         printf("p22 %d\n", (int)p22.size());
         for (size_t i = 0; i < p22.size(); ++i)
             printf("%.9e\n", (double)p22[i]);
-        const std::vector<float_t> &sig = tab.get_sigmav(&ep, &ap);
+        const std::vector<ftype> &sig = tab.get_sigmav(&ep, &ap);
         printf("sigma %d\n", (int)sig.size());
         for (size_t i = 0; i < sig.size(); ++i)
             printf("%.9e\n", (double)sig[i]);
@@ -179,16 +179,16 @@ int main(int argc, char **argv) {
         printf("queries %d\n", NQ * NQ);
         for (int a = 0; a < NQ; ++a)
         for (int b = 0; b < NQ; ++b) {
-            float_t u = ((float_t)a + 0.5f) / NQ;
-            float_t v = ((float_t)b + 0.5f) / NQ;
-            float_t phi = u * 2.0 * M_PI;
-            float_t theta = v * 0.5 * M_PI * 0.98;
+            ftype u = ((ftype)a + 0.5f) / NQ;
+            ftype v = ((ftype)b + 0.5f) / NQ;
+            ftype phi = u * 2.0 * M_PI;
+            ftype theta = v * 0.5 * M_PI * 0.98;
             printf("%.9e %.9e %.9e %.9e %.9e %.9e\n",
                    (double)tab.pdf1(phi), (double)tab.cdf1(phi),
                    (double)tab.qf1(u), (double)tab.pdf2(theta, phi),
                    (double)tab.cdf2(theta, phi), (double)tab.qf2(v, phi));
         }
-        float_t vals[5];
+        ftype vals[5];
         djb::microfacet::params pb =
             djb::tabular_anisotropic::fit_beckmann_parameters(tab);
         pb.get_pdfparams(&vals[0], &vals[1], &vals[2], &vals[3], &vals[4]);
@@ -224,7 +224,7 @@ int main(int argc, char **argv) {
                                  atof(argv[5]), atof(argv[6]));
         djb::microfacet::params p;
         djb::beckmann::lrep_to_params(lrep, &p);
-        float_t ax, ay, rho, txn, tyn;
+        ftype ax, ay, rho, txn, tyn;
         p.get_pdfparams(&ax, &ay, &rho, &txn, &tyn);
         printf("%.9e %.9e %.9e %.9e %.9e\n",
                (double)ax, (double)ay, (double)rho, (double)txn, (double)tyn);
@@ -237,12 +237,12 @@ int main(int argc, char **argv) {
         const int NU = 16, NT = 8;
         for (int a = 0; a < NU; ++a)
         for (int c = 0; c < NT; ++c) {
-            float_t u = ((float_t)a + 0.5f) / (float_t)NU;
-            float_t theta = ((float_t)c + 0.5f) / (float_t)NT
-                          * (float_t)(M_PI / 2.0) * 0.98f;
-            float_t ct = cos(theta), st = sin(theta);
-            float_t q2 = m->qf2_radial(u, ct, st);
-            float_t q3 = m->qf3_radial(u, q2);
+            ftype u = ((ftype)a + 0.5f) / (ftype)NU;
+            ftype theta = ((ftype)c + 0.5f) / (ftype)NT
+                          * (ftype)(M_PI / 2.0) * 0.98f;
+            ftype ct = cos(theta), st = sin(theta);
+            ftype q2 = m->qf2_radial(u, ct, st);
+            ftype q3 = m->qf3_radial(u, q2);
             printf("%.9e %.9e\n", (double)q2, (double)q3);
         }
     } else {

@@ -1,0 +1,176 @@
+"""Microbenchmark matrix for the MERL table-gather problem.
+
+The MERL eval is 3 gathers from a (3, 90, 90, 180) f32 table (17.5 MB)
+at ~4M random indices. Round-1 baseline: 2.7e7 evals/s. Target: >=1e9.
+This script times candidate formulations on the real TPU so the kernel
+design is driven by measurements, not guesses.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 1 << 22
+R_H, R_D, R_P = 90, 90, 180
+NROWS = R_H * R_D          # 8100
+NELEM = NROWS * R_P        # 1,458,000 per channel
+
+
+def timed(name, fn, *args, iters=20, per=N):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    rate = per * iters / best
+    print(f"{name:38s} {rate:.3e} evals/s   ({best*1e3/iters:.3f} ms/iter)")
+    return rate
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    table = jax.random.uniform(k1, (3, R_H, R_D, R_P), jnp.float32)
+    idx = jax.random.randint(k2, (N,), 0, NELEM, jnp.int32)
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    # V0: per-channel flat take (round-1 formulation)
+    flat = table.reshape(3, -1)
+
+    @jax.jit
+    def v0(idx):
+        r = jnp.take(flat[0], idx)
+        g = jnp.take(flat[1], idx)
+        b = jnp.take(flat[2], idx)
+        return jnp.stack([r, g, b], -1)
+
+    timed("v0 per-channel flat take", v0, idx)
+
+    # V1: channel-interleaved (NELEM, 3) single take along axis 0
+    inter = jnp.transpose(table.reshape(3, -1), (1, 0)).copy()
+
+    @jax.jit
+    def v1(idx):
+        return jnp.take(inter, idx, axis=0)
+
+    timed("v1 interleaved (N,3) row take", v1, idx)
+
+    # V2: row gather (8100, 180*3) + one-hot inner reduce
+    rows3 = jnp.transpose(table, (1, 2, 3, 0)).reshape(NROWS, R_P * 3)
+
+    @jax.jit
+    def v2(idx):
+        r = idx // R_P
+        p = idx % R_P
+        g = jnp.take(rows3, r, axis=0)           # (N, 540)
+        g = g.reshape(N, R_P, 3)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (N, R_P), 1)
+              == p[:, None]).astype(jnp.float32)
+        return jnp.einsum("npc,np->nc", g, oh)
+
+    timed("v2 row take + one-hot reduce", v2, idx)
+
+    # V3: flattened single-axis take of interleaved table
+    inter_flat = inter.reshape(-1)
+
+    @jax.jit
+    def v3(idx):
+        base = idx * 3
+        return jnp.stack([jnp.take(inter_flat, base + c) for c in range(3)],
+                         -1)
+
+    timed("v3 interleaved flat 3x take", v3, idx)
+
+    # V4: pallas kernel, per-channel plane in VMEM, jnp.take inside
+    plane = flat[0]  # (NELEM,)
+    BLK = 4096
+    plane2d = jnp.pad(plane, (0, (-NELEM) % 128)).reshape(-1, 128)
+
+    def k4(tab_ref, idx_ref, out_ref):
+        tab = tab_ref[:].reshape(-1)
+        out_ref[:] = jnp.take(tab, idx_ref[:], axis=0)
+
+    try:
+        @jax.jit
+        def v4(idx):
+            idx2 = idx.reshape(-1, BLK)
+            return pl.pallas_call(
+                k4,
+                grid=(N // BLK,),
+                in_specs=[
+                    pl.BlockSpec((plane2d.shape[0], 128), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((N // BLK, BLK), jnp.float32),
+            )(plane2d, idx2)
+
+        timed("v4 pallas VMEM-plane jnp.take", v4, idx)
+    except Exception as e:
+        print(f"v4 pallas take FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    # V5: pallas, gather expressed as take_along_axis on 2D VMEM table
+    def k5(tab_ref, row_ref, lane_ref, out_ref):
+        rows = jnp.take(tab_ref[:], row_ref[:].reshape(-1), axis=0)
+        out_ref[:] = jnp.take_along_axis(
+            rows, lane_ref[:].reshape(-1, 1), axis=1).reshape(out_ref.shape)
+
+    try:
+        @jax.jit
+        def v5(idx):
+            row = (idx // 128).reshape(-1, BLK)
+            lane = (idx % 128).reshape(-1, BLK)
+            return pl.pallas_call(
+                k5,
+                grid=(N // BLK,),
+                in_specs=[
+                    pl.BlockSpec((plane2d.shape[0], 128), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((N // BLK, BLK), jnp.float32),
+            )(plane2d, row, lane)
+
+        timed("v5 pallas row-take + take_along", v5, idx)
+    except Exception as e:
+        print(f"v5 FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    # V6: sort-based: argsort + sorted gather + unsort (upper bound check)
+    @jax.jit
+    def v6(idx):
+        order = jnp.argsort(idx)
+        sidx = idx[order]
+        vals = jnp.take(flat[0], sidx)
+        return jnp.zeros_like(vals).at[order].set(vals)
+
+    timed("v6 argsort+take+unsort (1ch)", v6, idx)
+
+    # V7: sort cost alone
+    @jax.jit
+    def v7(idx):
+        return jnp.sort(idx)
+
+    timed("v7 sort alone", v7, idx)
+
+
+if __name__ == "__main__":
+    main()
