@@ -68,7 +68,10 @@ def main() -> None:
     from dj_brdf_tpu.ops.fused_fit import ggx_lsq_value_and_grad
 
     n = int(os.environ.get("BENCH_N", 1 << 22))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    # the headline loop needs enough iterations to amortize tunneled
+    # dispatch latency (~1.6 ms/step at 2^22); secondary metrics use
+    # fewer (their steps are longer)
+    iters = int(os.environ.get("BENCH_ITERS", 50))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -101,7 +104,7 @@ def main() -> None:
     print(f"# {n} evals x {iters} iters in {dt:.3f}s", file=sys.stderr)
 
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
-        _secondary_metrics(i, o, n, iters)
+        _secondary_metrics(i, o, n, min(iters, 20))
 
     print(json.dumps({
         "metric": "ggx_evalp_fwdbwd_evals_per_s_per_chip",
@@ -201,17 +204,16 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
         rows = 89 * 90
         A = jax.random.uniform(jax.random.PRNGKey(1), (rows, rows),
                                jnp.float32)
-        mv = jax.jit(lambda A, v: A @ v)
         v = jnp.ones((rows,), jnp.float32)
 
-        def stp():
-            x = v
+        @jax.jit
+        def four(A, v):
             for _ in range(4):
-                x = mv(A, x)
-            return x[0]
-        k = max(1, iters // 4)
-        dt = _timeit(stp, k)
-        return 4 * k / dt
+                v = A @ v
+            return v[0]
+
+        dt = _timeit(lambda: four(A, v), iters)
+        return 4 * iters / dt
     _metric("power_iteration_matvecs_per_s_n8010", matvec_rate)
 
     # --- full anisotropic tabulation at production resolution 90x90

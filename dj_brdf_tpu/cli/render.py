@@ -19,13 +19,18 @@ def main(argv=None) -> int:
     ap.add_argument("--model", required=True,
                     choices=["ggx", "beckmann", "lambert", "merl", "utia",
                              "sgd", "abc", "merl_fit", "merl_tab",
-                             "utia_fit", "lean"])
+                             "utia_fit", "utia_tab", "lean"])
     ap.add_argument("--file", help="MERL/UTIA binary "
                                    "(merl/utia/merl_fit/merl_tab/utia_fit)")
     ap.add_argument("--material", help="material name (sgd/abc)")
     ap.add_argument("--alpha1", type=float, default=0.3)
     ap.add_argument("--alpha2", type=float, default=None)
     ap.add_argument("--alpha-angle", type=float, default=0.0)
+    ap.add_argument("--alpha1-map", help=".npy (H,W) texture driving "
+                    "alpha1 per shading point (mitsuba/dj_brdf.cpp:353-357)")
+    ap.add_argument("--alpha2-map", help=".npy (H,W) texture for alpha2")
+    ap.add_argument("--alpha-angle-map",
+                    help=".npy (H,W) texture for alphaAngle (radians)")
     ap.add_argument("--f0", type=float, nargs=3, default=[1.0, 1.0, 1.0])
     ap.add_argument("--fit-res", type=int, default=90,
                     help="tabulation resolution for *_fit/merl_tab "
@@ -78,6 +83,31 @@ def main(argv=None) -> int:
     params = MicrofacetParams.elliptic(args.alpha1, a2, args.alpha_angle)
     fres = fresnel.Schlick(f0=jnp.asarray(args.f0, jnp.float32))
 
+    textured = args.alpha1_map or args.alpha2_map or args.alpha_angle_map
+    if textured:
+        # per-shading-point roughness: sample the maps at the preview
+        # sphere's UVs and build per-pixel elliptic params — the
+        # textured alpha1/alpha2/alphaAngle front-end of the dj_brdf
+        # plugin (mitsuba/dj_brdf.cpp:166-288, 353-357)
+        if args.pathtrace:
+            ap.error("textured roughness requires the sphere renderer "
+                     "(drop --pathtrace)")
+        from dj_brdf_tpu.render.sphere import (sample_texture,
+                                               sphere_normals, sphere_uv)
+        n_tex, _ = sphere_normals(args.res)
+        uu, vv = sphere_uv(n_tex)
+
+        def tex_or(path, const):
+            if not path:
+                return jnp.full(uu.shape, jnp.float32(const))
+            t = jnp.asarray(np.load(path), jnp.float32)
+            return sample_texture(t, uu, vv)
+
+        params = MicrofacetParams.elliptic(
+            tex_or(args.alpha1_map, args.alpha1),
+            tex_or(args.alpha2_map, a2),
+            tex_or(args.alpha_angle_map, args.alpha_angle))
+
     if args.model in ("ggx", "beckmann"):
         dist = GGX() if args.model == "ggx" else Beckmann()
         mat = MicrofacetMaterial(dist=dist, fres=fres, params=params)
@@ -118,8 +148,11 @@ def main(argv=None) -> int:
         from dj_brdf_tpu.models.merl import Merl
         m = Merl(table=jnp.asarray(load_merl(args.file)))
         tab, tab_fres = tabular.build_tabular(m, args.fit_res)
-        mat = MicrofacetMaterial(dist=tab, fres=tab_fres,
-                                 params=MicrofacetParams.standard())
+        # textured alphas modulate around the tabulated NDF's unit
+        # base roughness (dj_brdf.cpp:353-357 with baseRoughness = 1)
+        mat = MicrofacetMaterial(
+            dist=tab, fres=tab_fres,
+            params=params if textured else MicrofacetParams.standard())
     elif args.model == "utia_fit":
         # the dj_brdf plugin's UTIA path: anisotropic tabulation at
         # scene load, base roughness from the anisotropic moment fit
@@ -132,6 +165,19 @@ def main(argv=None) -> int:
             u, args.fit_res, args.fit_res)
         p = moments.fit_beckmann_parameters_anisotropic(tab)
         mat = MicrofacetMaterial(dist=Beckmann(), fres=tab_fres, params=p)
+    elif args.model == "utia_tab":
+        # the dj_brdf plugin with distribution="tabular" + utia: render
+        # and sample the extracted anisotropic table itself
+        # (mitsuba/dj_brdf.cpp:234-259)
+        from dj_brdf_tpu.fit import tabular_aniso
+        from dj_brdf_tpu.io.utia_io import load_utia
+        from dj_brdf_tpu.models.utia import Utia
+        u = Utia.build(jnp.asarray(load_utia(args.file)))
+        tab, tab_fres = tabular_aniso.build_tabular_anisotropic(
+            u, args.fit_res, args.fit_res)
+        mat = MicrofacetMaterial(
+            dist=tab, fres=tab_fres,
+            params=params if textured else MicrofacetParams.standard())
     elif args.model == "lean":
         # the dj_beckmannconductor plugin: LEAN maps + base roughness +
         # exact conductor Fresnel (mitsuba/dj_beckmannconductor.cpp)
@@ -162,34 +208,10 @@ def main(argv=None) -> int:
 
     if args.conductor and isinstance(mat, MicrofacetMaterial):
         # fresnelConductorExact multiplied on top (dj_brdf.cpp:366, 430)
-        from dj_brdf_tpu.core.math import dot, normalize
-        from dj_brdf_tpu.fresnel import conductor_fresnel
-        eta = jnp.asarray(args.eta, jnp.float32)
-        kk = jnp.asarray(args.k, jnp.float32)
-        inner = mat
-
-        class _CondWrap:
-            def evalp(self, i, o):
-                h = normalize(i + o, eps=1e-24)
-                f = conductor_fresnel(jnp.clip(dot(o, h), 0.0, 1.0), eta, kk)
-                return inner.evalp(i, o) * f
-
-            def sample(self, u1, u2, o):
-                return inner.sample(u1, u2, o)
-
-            def pdf(self, i, o):
-                return inner.pdf(i, o)
-
-            def evalp_is(self, u1, u2, o):
-                i = self.sample(u1, u2, o)
-                p = self.pdf(i, o)
-                safe = jnp.maximum(p, 1e-12)
-                ok = (p > 0.0) & (i[..., 2] > 0.0)
-                w = jnp.where(ok[..., None],
-                              self.evalp(i, o) / safe[..., None], 0.0)
-                return w, i, jnp.where(ok, p, 0.0)
-
-        mat = _CondWrap()
+        from dj_brdf_tpu.render.materials import ConductorWrap
+        mat = ConductorWrap(inner=mat,
+                            eta=jnp.asarray(args.eta, jnp.float32),
+                            k=jnp.asarray(args.k, jnp.float32))
 
     if args.pathtrace:
         from dj_brdf_tpu.render.pathtrace import render as pt_render
@@ -200,8 +222,10 @@ def main(argv=None) -> int:
                         res=args.res, spp=args.spp,
                         max_bounces=args.bounces)
     else:
-        img = jax.jit(lambda: render_sphere(mat.evalp, tuple(args.light),
-                                            res=args.res))()
+        # the material is a pytree jit ARGUMENT: closing over it would
+        # embed measured tables as XLA constants (DESIGN.md §6)
+        img = jax.jit(lambda mat: render_sphere(
+            mat.evalp, tuple(args.light), res=args.res))(mat)
     arr = np.asarray(jnp.clip(img * args.exposure, 0.0, 1.0) ** (1 / 2.2))
     from PIL import Image
     Image.fromarray((arr * 255).astype(np.uint8)).save(args.output)

@@ -42,6 +42,75 @@ def merl_targets(tables, i, o):
     return jax.vmap(one)(tables)
 
 
+def tabulate_merl_batch(tables, res: int = 90, shadow: bool = True,
+                        mesh=None):
+    """Run the full tabulation pipeline (dj_brdf.h:2215-2236) on a
+    *stack* of MERL tables in one vmapped device program — the TPU
+    form of the reference's per-file loop in examples/merl_params.cpp:
+    53-68. Returns ``(Tabular stack, fresnel points stack (M, res, 3),
+    beckmann alphas (M,), ggx alphas (M,))``.
+
+    The kernel build and table stages vmap over the material axis;
+    only the 4-step power iteration hops to the host (float64, like
+    the reference's ``matrix`` class — a (M, 89, 89) batched matvec).
+    With a mesh, the material axis shards across devices (independent
+    per-material work, zero communication)."""
+    import numpy as np
+    from dj_brdf_tpu.fit import moments, tabular as T
+    from dj_brdf_tpu.microfacet.ndf import Tabular
+
+    tables = jnp.asarray(tables)
+    m = tables.shape[0]
+    eval_fn = (lambda model, i, o: model.eval(i, o))
+
+    pad = 0
+    if mesh is not None:
+        d = mesh.devices.size
+        pad = (-m) % d
+        if pad:
+            tables = jnp.concatenate(
+                [tables, tables[jnp.arange(pad) % m]], axis=0)
+        tables = jax.device_put(
+            tables, NamedSharding(mesh, P(DATA_AXIS)))
+
+    def stage1(table):
+        return T._kernel_matrix(eval_fn, Merl(table=table), res)
+
+    def stage2(table, p22_raw):
+        p22 = T.normalize_p22(p22_raw)
+        sigma = T.compute_sigma(p22)
+        fres_pts = T._fresnel_points(eval_fn, Merl(table=table), p22,
+                                     sigma, res, shadow)
+        cdf = T.compute_cdf(p22)
+        qf = T.compute_qf(cdf)
+        dist = Tabular(p22=p22, sigma=sigma, cdf=cdf, qf=qf)
+        ab = moments.fit_beckmann_parameters(dist).ax
+        ag = moments.fit_ggx_parameters(dist).ax
+        return p22, sigma, cdf, qf, fres_pts, ab, ag
+
+    K = jax.jit(jax.vmap(stage1))(tables)          # (M, cnt, cnt)
+
+    # batched host-f64 power iteration (reference matrix::eigenvector,
+    # dj_brdf.h:2467-2480, + the 1e-2 scale / trailing zero of :2517)
+    import jax as _jax
+    A = np.asarray(_jax.device_get(K), np.float64)
+    v = np.ones(A.shape[:2], np.float64)
+    for _ in range(4):
+        v = np.einsum("mij,mj->mi", A, v)
+    p22_raw = np.concatenate([1e-2 * v, np.zeros((A.shape[0], 1))], axis=1)
+    p22_raw = jnp.asarray(p22_raw, tables.dtype)
+    if mesh is not None:
+        p22_raw = jax.device_put(p22_raw, NamedSharding(mesh, P(DATA_AXIS)))
+
+    p22, sigma, cdf, qf, fres_pts, ab, ag = \
+        jax.jit(jax.vmap(stage2))(tables, p22_raw)
+    if pad:
+        p22, sigma, cdf, qf, fres_pts, ab, ag = jax.tree_util.tree_map(
+            lambda x: x[:m], (p22, sigma, cdf, qf, fres_pts, ab, ag))
+    dists = Tabular(p22=p22, sigma=sigma, cdf=cdf, qf=qf)
+    return dists, fres_pts, ab, ag
+
+
 def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
                   mesh=None, dist=GGX()):
     """Fit per-material (MicrofacetParams, Schlick) to ``targets``

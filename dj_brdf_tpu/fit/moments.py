@@ -15,46 +15,67 @@ import jax.numpy as jnp
 from dj_brdf_tpu.microfacet.params import MicrofacetParams
 
 
+def _log_alpha(name, alpha):
+    """DJB_LOG parity: the reference prints each fitted alpha
+    (dj_brdf.h:3154, 3180, 3237). Skipped under trace (vmap/jit)."""
+    import jax
+    if not isinstance(alpha, jax.core.Tracer):
+        from dj_brdf_tpu.config import logger
+        logger.debug("%s: alpha = %.9g", name, float(alpha))
+
+
+def _ft(dist):
+    """Working precision: follow the distribution's tables
+    (DJB_USE_DOUBLE_PRECISION parity), f32 for analytic dists."""
+    t = getattr(dist, "p22", None)
+    return t.dtype.type if t is not None else np.float32
+
+
 def fit_beckmann_parameters(dist) -> MicrofacetParams:
     """alpha = sqrt(2 E[r^2 cos^2 phi]) (dj_brdf.h:3133-3158)."""
+    ft = _ft(dist)
     ntheta = 128
     dtheta = np.pi / ntheta
-    u = jnp.arange(ntheta, dtype=jnp.float32) / ntheta
-    theta_h = u * u * np.float32(np.pi * 0.5)
+    u = jnp.arange(ntheta, dtype=ft) / ntheta
+    theta_h = u * u * ft(np.pi * 0.5)
     cos_h = jnp.cos(theta_h)
     r_h = jnp.tan(theta_h)
     p22_r = dist.p22_radial(r_h * r_h)
     nint = jnp.sum((u * r_h ** 3 * p22_r) / (cos_h * cos_h))
     nint = nint * dtheta * np.pi  # int_0^2pi cos^2 = pi
     alpha = jnp.sqrt(2.0 * nint)
+    _log_alpha("fit_beckmann_parameters", alpha)  # dj_brdf.h:3154
     return MicrofacetParams.isotropic(alpha)
 
 
 def fit_ggx_parameters(dist) -> MicrofacetParams:
     """alpha = E[r |cos phi|]-style first moment (dj_brdf.h:3160-3184)."""
+    ft = _ft(dist)
     ntheta = 128
     dtheta = np.pi / ntheta
-    u = jnp.arange(ntheta, dtype=jnp.float32) / ntheta
-    theta_h = u * u * np.float32(np.pi * 0.5)
+    u = jnp.arange(ntheta, dtype=ft) / ntheta
+    theta_h = u * u * ft(np.pi * 0.5)
     cos_h = jnp.cos(theta_h)
     r_h = jnp.tan(theta_h)
     p22_r = dist.p22_radial(r_h * r_h)
     nint = jnp.sum((u * r_h ** 2 * p22_r) / (cos_h * cos_h))
     alpha = nint * dtheta * 4.0  # int_0^2pi |cos| = 4
+    _log_alpha("fit_ggx_parameters", alpha)  # dj_brdf.h:3180
     return MicrofacetParams.isotropic(alpha)
 
 
 def _aniso_moments(dist, ggx: bool):
     """Shared 5-moment quadrature over the standard slope PDF
     (dj_brdf.h:3186-3307)."""
+    ft = _ft(dist)
     ntheta, nphi = 128, 512
     dtheta = np.sqrt(np.pi * 0.5) / ntheta
     dphi = 2.0 * np.pi / nphi
 
-    tj = jnp.arange(nphi, dtype=jnp.float32) / nphi
-    phi = tj * np.float32(2.0 * np.pi)
-    ti = jnp.arange(ntheta, dtype=jnp.float32) / ntheta
-    theta = ti * np.float32(np.sqrt(np.pi * 0.5))
+    tj = jnp.arange(nphi, dtype=ft) / nphi
+    phi = tj * ft(2.0 * np.pi)
+    ti = jnp.arange(ntheta, dtype=ft) / ntheta
+    theta = ti * ft(np.sqrt(np.pi * 0.5))
     theta_sqr = theta * theta
 
     T2, P = jnp.meshgrid(theta_sqr, phi)      # (nphi, ntheta)

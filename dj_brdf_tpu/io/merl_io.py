@@ -34,7 +34,17 @@ def load_merl(path: str, dtype=np.float32, use_native: bool = True) -> np.ndarra
         raise ValueError(f"truncated MERL file {path}")
     if n != RES_THETA_H * RES_THETA_D * (RES_PHI_D // 2):
         raise ValueError(f"unexpected MERL dims {tuple(dims)} in {path}")
-    return data.reshape(3, RES_THETA_H, RES_THETA_D, RES_PHI_D // 2).astype(dtype)
+    table = data.reshape(3, RES_THETA_H, RES_THETA_D,
+                         RES_PHI_D // 2).astype(dtype)
+    neg = int((table < 0).any(axis=0).sum())
+    if neg:
+        # DJB_LOG parity: the reference warns per below-horizon lookup
+        # at eval time (dj_brdf.h:1016-1021); we report the count once
+        # at load (eval is jitted)
+        from dj_brdf_tpu.config import logger
+        logger.debug("merl %s: %d below-horizon bins (negative values "
+                     "evaluate to zero)", path, neg)
+    return table
 
 
 def save_merl(path: str, table: np.ndarray) -> None:

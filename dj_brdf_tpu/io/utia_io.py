@@ -28,6 +28,12 @@ def load_utia(path: str, dtype=np.float32, use_native: bool = True) -> np.ndarra
     data = np.fromfile(path, dtype="<f8", count=_COUNT)
     if data.size != _COUNT:
         raise ValueError(f"truncated UTIA file {path}")
+    neg = int((data < 0).sum())
+    if neg:
+        # DJB_LOG parity with utia::normalize's negative-value clamp
+        # warning (dj_brdf.h:1162-1177)
+        from dj_brdf_tpu.config import logger
+        logger.debug("utia %s: clamped %d negative samples", path, neg)
     data = np.maximum(data, 0.0) * (1.0 / 140.0)
     return data.reshape(3, NTI, NPI, NTV, NPV).astype(dtype)
 

@@ -64,16 +64,21 @@ def _aniso_col_terms(eval_fn, elevation_res: int, azimuthal_res: int):
     return xo, yo, zo, kji_tmp1
 
 
-def aniso_p22_sharded(eval_fn, elevation_res: int, azimuthal_res: int,
+def aniso_p22_sharded(brdf, elevation_res: int, azimuthal_res: int,
                       mesh, iterations: int = 4) -> jnp.ndarray:
     """Power-iterate the anisotropic kernel with row blocks built
-    per-shard. Returns the raw (azimuthal_res, elevation_res) p22
+    per-shard. ``brdf`` is a model pytree with ``.eval`` or a bare
+    eval_fn. Returns the raw (azimuthal_res, elevation_res) p22
     table (pre-normalization), float32.
 
     Note the matvec orientation: ``matrix::transform`` computes
     out[col] = sum_row K(row, col) v[row], so the "rows" sharded here
     are the *columns* of K — each shard owns a block of output entries
     and reads the full v (dj_brdf.h:2456-2465)."""
+    from dj_brdf_tpu.fit.tabular import as_model_eval
+    eval_mod, model = as_model_eval(brdf)
+    eval_fn = lambda i, o: eval_mod(model, i, o)
+
     w = elevation_res - 1
     h = azimuthal_res
     n = w * h

@@ -126,6 +126,40 @@ class CosineMaterial:
         return w, i, p
 
 
+@pytree_dataclass
+class ConductorWrap:
+    """Exact conductor Fresnel multiplied on top of any material —
+    the dj_brdf plugin's Mitsuba-Fresnel path
+    (mitsuba/dj_brdf.cpp:366, 430)."""
+
+    inner: object
+    eta: jnp.ndarray
+    k: jnp.ndarray
+
+    def _cond(self, i, o):
+        from dj_brdf_tpu.fresnel import conductor_fresnel
+        h = normalize(i + o, eps=1e-24)
+        return conductor_fresnel(jnp.clip(dot(o, h), 0.0, 1.0),
+                                 self.eta, self.k)
+
+    def evalp(self, i, o):
+        return self.inner.evalp(i, o) * self._cond(i, o)
+
+    def sample(self, u1, u2, o):
+        return self.inner.sample(u1, u2, o)
+
+    def pdf(self, i, o):
+        return self.inner.pdf(i, o)
+
+    def evalp_is(self, u1, u2, o):
+        i = self.sample(u1, u2, o)
+        p = self.pdf(i, o)
+        safe = jnp.maximum(p, 1e-12)
+        ok = (p > 0.0) & (i[..., 2] > 0.0)
+        w = jnp.where(ok[..., None], self.evalp(i, o) / safe[..., None], 0.0)
+        return w, i, jnp.where(ok, p, 0.0)
+
+
 def eval_hd(model, h, d):
     """Evaluate any material in half/diff coordinates (reference
     brdf::eval_hd, dj_brdf.h:795-801)."""

@@ -70,3 +70,45 @@ def test_throughput_meter():
             y = x * 2
             meter.sync(y)
     assert meter.rate() > 0
+
+
+def test_tabulate_merl_batch_matches_sequential():
+    """One vmapped tabulation program == per-material build_tabular
+    (examples/merl_params.cpp parity path), incl. sharded run."""
+    from dj_brdf_tpu.fit import moments, tabular
+    from dj_brdf_tpu.io import synth
+    from dj_brdf_tpu.models.merl import Merl
+
+    tables = []
+    for a in (0.2, 0.5):
+        def eval_fn(i, o, a=a):
+            return mf.eval(GGX(), fresnel.Schlick(f0=jnp.full((3,), 0.7)),
+                           MicrofacetParams.isotropic(a), i, o)
+        tables.append(synth.bake_merl(eval_fn))
+    tables = jnp.asarray(np.stack(tables), jnp.float32)
+
+    res = 24
+    dists, fres_pts, ab, ag = batch.tabulate_merl_batch(tables, res)
+    for k in range(2):
+        d_ref, f_ref = tabular.build_tabular(Merl(table=tables[k]), res)
+        np.testing.assert_allclose(np.asarray(dists.p22[k]),
+                                   np.asarray(d_ref.p22), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(dists.qf[k]),
+                                   np.asarray(d_ref.qf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fres_pts[k]),
+                                   np.asarray(f_ref.points), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            float(ab[k]), float(moments.fit_beckmann_parameters(d_ref).ax),
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            float(ag[k]), float(moments.fit_ggx_parameters(d_ref).ax),
+            rtol=1e-5)
+
+    # material axis sharded over the 8-device CPU mesh (pads 2 -> 8)
+    mesh = make_mesh(8)
+    dists_s, _, ab_s, ag_s = batch.tabulate_merl_batch(tables, res, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(dists_s.p22), np.asarray(dists.p22),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ab_s), np.asarray(ab), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ag_s), np.asarray(ag), rtol=1e-6)

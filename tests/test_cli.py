@@ -188,3 +188,58 @@ def test_render_cli_lean(tmp_path):
     assert r.returncode == 0, r.stderr
     img = np.asarray(Image.open(out))
     assert img.shape == (32, 32, 3) and img.max() > 10
+
+
+def test_render_cli_textured_roughness(tmp_path, merl_file):
+    """Textured alpha1/alpha2/alphaAngle front-end
+    (mitsuba/dj_brdf.cpp:166-288, 353-357)."""
+    from PIL import Image
+    out = str(tmp_path / "t.png")
+    h = w = 16
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    a1 = (0.05 + 0.5 * ((x + y) % 2)).astype(np.float32)    # checker
+    ang = (np.pi / 4 * (x % 2)).astype(np.float32)
+    a1p, angp = str(tmp_path / "a1.npy"), str(tmp_path / "ang.npy")
+    np.save(a1p, a1)
+    np.save(angp, ang)
+
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx",
+                "--alpha1-map", a1p, "--alpha-angle-map", angp,
+                "--alpha2", 0.1, "--res", 64, "-o", out)
+    assert r.returncode == 0, r.stderr
+    img = np.asarray(Image.open(out)).astype(np.float32)
+    assert img.shape == (64, 64, 3) and img.max() > 10
+    # the checker must show: rough vs smooth texels shade differently
+    r2 = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx",
+                 "--alpha1", 0.05, "--alpha2", 0.1, "--res", 64, "-o", out)
+    assert r2.returncode == 0, r2.stderr
+    img_u = np.asarray(Image.open(out)).astype(np.float32)
+    assert np.abs(img - img_u).max() > 8.0
+
+    # textured roughness modulating a tabulated NDF (baseRoughness = 1)
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "merl_tab", "--file",
+                merl_file, "--fit-res", 24, "--alpha1-map", a1p,
+                "--res", 48, "-o", out)
+    assert r.returncode == 0, r.stderr
+
+
+def test_render_cli_utia_tab(tmp_path):
+    """distribution="tabular" over UTIA: render + sample the extracted
+    anisotropic table itself (mitsuba/dj_brdf.cpp:234-259)."""
+    from PIL import Image
+    from dj_brdf_tpu.models.lambert import Lambert
+    lam = Lambert(reflectance=jnp.asarray([0.6, 0.6, 0.6], jnp.float32))
+    upath = str(tmp_path / "u.bin")
+    save_utia(upath, synth.bake_utia(lam.eval))
+    out = str(tmp_path / "ut.png")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "utia_tab", "--file",
+                upath, "--fit-res", 8, "--res", 32, "-o", out)
+    assert r.returncode == 0, r.stderr
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 32, 3) and img.max() > 5
+
+    # multi-bounce path trace samples the aniso table's nmap sampler
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "utia_tab", "--file",
+                upath, "--fit-res", 8, "--res", 24, "--pathtrace",
+                "--spp", 2, "--bounces", 2, "-o", out)
+    assert r.returncode == 0, r.stderr
