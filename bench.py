@@ -16,8 +16,8 @@ NOT reliably wait for execution, and async dispatch makes loop timing
 meaningless without a final sync through the result value.
 
 Run on the real TPU: `python bench.py`. Optional env:
-  BENCH_N        batch size per step   (default 2^22)
-  BENCH_ITERS    timed iterations      (default 20)
+  BENCH_N        batch size per step   (default 2^23)
+  BENCH_ITERS    timed iterations      (default 50)
   BENCH_SECONDARY=0   skip secondary metrics
   BENCH_ANISO=0       skip the 90x90 anisotropic fit timing
 """
@@ -67,10 +67,9 @@ def main() -> None:
     from dj_brdf_tpu.ops import soa
     from dj_brdf_tpu.ops.fused_fit import ggx_lsq_value_and_grad
 
-    n = int(os.environ.get("BENCH_N", 1 << 22))
-    # the headline loop needs enough iterations to amortize tunneled
-    # dispatch latency (~1.6 ms/step at 2^22); secondary metrics use
-    # fewer (their steps are longer)
+    # 2^23 samples/step: at 2^22 the ~1 ms tunneled dispatch latency
+    # still dominates the ~0.75 ms kernel and under-reports by ~40%
+    n = int(os.environ.get("BENCH_N", 1 << 23))
     iters = int(os.environ.get("BENCH_ITERS", 50))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     dev = jax.devices()[0]
@@ -114,10 +113,16 @@ def main() -> None:
     }))
 
 
-def _metric(name, fn):
+def _metric(name, fn, unit="evals/s", target=None):
+    """Time a secondary metric; emits a human line and a JSON record
+    (stderr, so stdout stays the single headline JSON line)."""
     try:
         v = fn()
         print(f"# {name}: {v:.3e}", file=sys.stderr)
+        rec = {"metric": name, "value": v, "unit": unit}
+        if target:
+            rec["vs_baseline"] = v / target
+        print(json.dumps(rec), file=sys.stderr)
     except Exception as e:  # keep the primary metric robust
         print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -146,7 +151,7 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
     def merl_eval():
         dt = _timeit(lambda: merl_step(m, i, o), iters)
         return n * iters / dt
-    _metric("merl_eval_evals_per_s", merl_eval)
+    _metric("merl_eval_evals_per_s", merl_eval, target=1e9)
 
     u = Utia.build(jax.random.uniform(kt2, (3, 6, 48, 6, 48), jnp.float32)
                    * 0.1)
@@ -155,7 +160,7 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
     def utia_eval():
         dt = _timeit(lambda: utia_step(u, i, o), iters)
         return n * iters / dt
-    _metric("utia_eval_evals_per_s", utia_eval)
+    _metric("utia_eval_evals_per_s", utia_eval, target=1e9)
 
     # --- VNDF sampling hot loop: sample + evalp_is weight
     # (dj_brdf.h:1734-1765; Beckmann Newton solver 1897-1952, GGX
@@ -196,7 +201,7 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
             return img.sum()
         dt = _timeit(stp, max(1, iters // 4))
         return res * res * spp * max(1, iters // 4) / dt
-    _metric("pathtrace_samples_per_s", pathtrace_rate)
+    _metric("pathtrace_samples_per_s", pathtrace_rate, unit="samples/s")
 
     # --- power-iteration matvec at the production aniso kernel size
     # (8010^2, dj_brdf.h:2525-2579), on-device f32
@@ -214,7 +219,8 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
 
         dt = _timeit(lambda: four(A, v), iters)
         return 4 * iters / dt
-    _metric("power_iteration_matvecs_per_s_n8010", matvec_rate)
+    _metric("power_iteration_matvecs_per_s_n8010", matvec_rate,
+            unit="matvecs/s")
 
     # --- full anisotropic tabulation at production resolution 90x90
     # (the reference's biggest workload, dj_brdf.h:2238-2273)
@@ -233,7 +239,7 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
             dist, _ = build_tabular_anisotropic(eval_fn, 90, 90)
             float(dist.p22.sum())  # sync
             return time.perf_counter() - t0
-        _metric("aniso_fit90_wall_seconds", aniso_wall)
+        _metric("aniso_fit90_wall_seconds", aniso_wall, unit="s")
 
 
 if __name__ == "__main__":

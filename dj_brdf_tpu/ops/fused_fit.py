@@ -23,13 +23,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dj_brdf_tpu.ops.soa import ggx_lsq_loss_soa
+from dj_brdf_tpu.ops.soa import ggx_lsq_fwdbwd_soa, ggx_lsq_loss_soa
 
 LANES = 128
 _PAD = 16  # output lanes used: 1 loss + 8 grads
 
 
-def _kernel(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
+def _emit(out_ref, val, grad):
+    row = jnp.concatenate([val[None], grad,
+                           jnp.zeros((LANES - 9,), jnp.float32)])
+    # TPU wants (8, 128)-aligned output tiles; rows 1-7 stay zero
+    out_ref[:] = jnp.concatenate([row[None, :],
+                                  jnp.zeros((7, LANES), jnp.float32)], axis=0)
+
+
+def _recip_nr(x):
+    """VPU approximate reciprocal + one Newton step: ~2x faster than a
+    full f32 divide at < 1 ulp residual error after refinement."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _kernel_hand(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
+    """Hand-written adjoint (soa.ggx_lsq_fwdbwd_soa): every backward
+    term reuses a forward register — no VJP recompute."""
+    pvec = pvec_ref[0, :8]
+    data = tuple(r[:] for r in (ix, iy, iz, ox, oy, oz, tr, tg, tb))
+    val, grad = ggx_lsq_fwdbwd_soa(pvec, *data, recip=_recip_nr)
+    _emit(out_ref, val, grad)
+
+
+def _kernel_ad(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
+    """In-kernel jax.vjp variant, kept as a cross-check baseline."""
     pvec = pvec_ref[0, :8]
     data = tuple(r[:] for r in (ix, iy, iz, ox, oy, oz, tr, tg, tb))
     n_total = data[0].size
@@ -40,23 +65,23 @@ def _kernel(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
 
     val, vjp = jax.vjp(f, pvec)
     (grad,) = vjp(jnp.float32(1.0))
-    row = jnp.concatenate([val[None], grad,
-                           jnp.zeros((LANES - 9,), jnp.float32)])
-    # TPU wants (8, 128)-aligned output tiles; rows 1-7 stay zero
-    out_ref[:] = jnp.concatenate([row[None, :],
-                                  jnp.zeros((7, LANES), jnp.float32)], axis=0)
+    _emit(out_ref, val, grad)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_rows", "interpret", "n_valid"))
+                   static_argnames=("block_rows", "interpret", "n_valid",
+                                    "adjoint"))
 def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
                            block_rows: int = 256, interpret: bool = False,
-                           n_valid: int | None = None):
+                           n_valid: int | None = None,
+                           adjoint: str = "hand"):
     """Returns (loss, grad(8,)) for the relative-L2 GGX+Schlick fit.
 
     Inputs are flat f32 arrays whose size must be a multiple of
     128*block_rows (pad with zero-contribution samples if needed; see
-    :func:`pad_to_block`, and pass the true count as ``n_valid``)."""
+    :func:`pad_to_block`, and pass the true count as ``n_valid``).
+    ``adjoint`` selects the in-kernel backward: "hand" (analytic,
+    default) or "ad" (jax.vjp cross-check)."""
     n = ix.size
     rows = n // LANES
     assert rows * LANES == n and rows % block_rows == 0, (n, block_rows)
@@ -74,7 +99,7 @@ def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
                               memory_space=pltpu.VMEM)] * 9
 
     partials = pl.pallas_call(
-        _kernel,
+        _kernel_hand if adjoint == "hand" else _kernel_ad,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((8, LANES), lambda g: (g, 0),

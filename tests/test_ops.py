@@ -47,11 +47,48 @@ def test_fused_kernel_matches_autodiff(rng):
                        jnp.float32)
     want_val, want_grad = jax.value_and_grad(soa.ggx_lsq_loss_soa)(
         pvec, *comp, tr, tg, tb)
-    got_val, got_grad = ggx_lsq_value_and_grad(
-        pvec, *comp, tr, tg, tb, interpret=True)
-    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_grad), np.asarray(want_grad),
-                               rtol=1e-4, atol=1e-6)
+    for adjoint in ("hand", "ad"):
+        got_val, got_grad = ggx_lsq_value_and_grad(
+            pvec, *comp, tr, tg, tb, interpret=True, adjoint=adjoint)
+        # "hand" uses the approx-reciprocal + Newton step: ~1e-5 rel
+        rtol_val = 1e-4 if adjoint == "hand" else 1e-5
+        np.testing.assert_allclose(float(got_val), float(want_val),
+                                   rtol=rtol_val)
+        np.testing.assert_allclose(np.asarray(got_grad),
+                                   np.asarray(want_grad),
+                                   rtol=3e-4, atol=1e-6)
+
+
+def test_hand_adjoint_matches_autodiff(rng):
+    """soa.ggx_lsq_fwdbwd_soa (analytic adjoint) == jax.grad of the
+    loss, including at gated/degenerate samples."""
+    n = 8192
+    i, o = make_batch(rng, n)
+    comp = soa.split_dirs(i, o)
+    pvec_true = jnp.asarray([0.25, 0.25, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
+                            jnp.float32)
+    tr, tg, tb = soa.ggx_evalp_soa(pvec_true, *comp)
+    for pv in ([0.4, 0.3, 0.1, 0.02, -0.03, 0.5, 0.5, 0.5],
+               [0.05, 0.8, -0.7, 0.3, -0.2, 0.99, 0.01, 0.5]):
+        pvec = jnp.asarray(pv, jnp.float32)
+        want_val, want_grad = jax.value_and_grad(soa.ggx_lsq_loss_soa)(
+            pvec, *comp, tr, tg, tb)
+        loss_sum, grad_sum = soa.ggx_lsq_fwdbwd_soa(pvec, *comp, tr, tg, tb)
+        np.testing.assert_allclose(float(loss_sum) / n, float(want_val),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(grad_sum) / n,
+                                   np.asarray(want_grad),
+                                   rtol=2e-4, atol=1e-7)
+
+    # degenerate: o below horizon and i == -o must contribute exactly 0
+    pvec = jnp.asarray([0.4, 0.3, 0.1, 0.0, 0.0, 0.5, 0.5, 0.5], jnp.float32)
+    bad_o = jnp.stack([jnp.zeros(4), jnp.zeros(4), -jnp.ones(4)], -1)
+    bi = soa.split_dirs(i[:4], bad_o)
+    z = jnp.zeros(4)
+    ls, gr = soa.ggx_lsq_fwdbwd_soa(pvec, *bi, z, z, z)
+    assert float(ls) == 0.0
+    assert np.isfinite(np.asarray(gr)).all()
+    np.testing.assert_array_equal(np.asarray(gr), np.zeros(8))
 
 
 def test_fused_kernel_padding(rng):
@@ -68,6 +105,6 @@ def test_fused_kernel_padding(rng):
         pvec, *arrays, *targets, interpret=True, n_valid=n_valid)
     want_val, want_grad = jax.value_and_grad(soa.ggx_lsq_loss_soa)(
         pvec, *comp, tr, tg, tb)
-    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_grad), np.asarray(want_grad),
-                               rtol=1e-4, atol=1e-6)
+                               rtol=3e-4, atol=5e-6)
