@@ -96,3 +96,31 @@ def test_aniso_fits(case):
     got_g = [float(pg.ax), float(pg.ay), float(pg.rho),
              float(pg.txn), float(pg.tyn)]
     np.testing.assert_allclose(got_g, golden["fit_ggx"], rtol=1e-2, atol=1e-3)
+
+
+def test_midres_45x45_parity():
+    """Production-scale sanity at an intermediate resolution the C++
+    oracle still finishes quickly (VERDICT: the 16x16 grid alone
+    under-exercises the pipeline; the real workload is 90x90,
+    dj_brdf.h:2525-2579). Full-table p22/sigma parity + moment fits at
+    45x45."""
+    a1, a2, phi_a = 0.4, 0.15, 0.35
+    golden = orc.run_sections("tabular_aniso", "ggx", a1, a2, phi_a, 45, 45)
+    eval_fn = tabular.microfacet_eval_fn(
+        GGX(), fresnel.Ideal(), MicrofacetParams.elliptic(a1, a2, phi_a))
+    ours, _ = tabular_aniso.build_tabular_anisotropic(eval_fn, 45, 45)
+
+    np.testing.assert_allclose(np.asarray(ours.p22).reshape(-1),
+                               golden["p22"], rtol=1e-2, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours.sigma).reshape(-1),
+                               golden["sigma"], rtol=1e-2, atol=1e-5)
+
+    pb = moments.fit_beckmann_parameters_anisotropic(ours)
+    got_b = [float(pb.ax), float(pb.ay), float(pb.rho),
+             float(pb.txn), float(pb.tyn)]
+    np.testing.assert_allclose(got_b, golden["fit_beckmann"], rtol=1e-2,
+                               atol=1e-3)
+    pg = moments.fit_ggx_parameters_anisotropic(ours)
+    got_g = [float(pg.ax), float(pg.ay), float(pg.rho),
+             float(pg.txn), float(pg.tyn)]
+    np.testing.assert_allclose(got_g, golden["fit_ggx"], rtol=1e-2, atol=1e-3)
