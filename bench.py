@@ -180,6 +180,35 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
     _metric("ggx_caps_sample_evalp_is_per_s",
             lambda: sample_rate(GGXSphericalCaps()))
 
+    # fused SoA sample+eval (ops/soa.py::ggx_evalp_is_soa): one pass
+    # shares the receiver warp / sigma / slope work the layered path
+    # recomputes
+    from dj_brdf_tpu.ops.soa import ggx_evalp_is_soa
+
+    def fused_sample_rate(caps):
+        pv = jnp.stack([params.ax, params.ay, params.rho, params.txn,
+                        params.tyn] + list(fres.f0)).astype(jnp.float32)
+        stp = jax.jit(lambda pv, u1, u2, ox, oy, oz: sum(
+            jnp.sum(x) for x in ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz,
+                                                 caps=caps)))
+        ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+        dt = _timeit(lambda: stp(pv, u1, u2, ox, oy, oz), iters)
+        return n * iters / dt
+    _metric("ggx_caps_evalp_is_soa_per_s", lambda: fused_sample_rate(True))
+    _metric("ggx_qf_evalp_is_soa_per_s", lambda: fused_sample_rate(False))
+
+    def fused_beckmann_rate():
+        from dj_brdf_tpu.ops.soa import beckmann_evalp_is_soa
+        pv = jnp.stack([params.ax, params.ay, params.rho, params.txn,
+                        params.tyn] + list(fres.f0)).astype(jnp.float32)
+        stp = jax.jit(lambda pv, u1, u2, ox, oy, oz: sum(
+            jnp.sum(x) for x in beckmann_evalp_is_soa(pv, u1, u2,
+                                                      ox, oy, oz)))
+        ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+        dt = _timeit(lambda: stp(pv, u1, u2, ox, oy, oz), iters)
+        return n * iters / dt
+    _metric("beckmann_evalp_is_soa_per_s", fused_beckmann_rate)
+
     # --- path tracer (render/pathtrace.py; the reference delegates to
     # Mitsuba's integrator around its BSDF plugins)
     def pathtrace_rate():
@@ -221,6 +250,26 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
         return 4 * iters / dt
     _metric("power_iteration_matvecs_per_s_n8010", matvec_rate,
             unit="matvecs/s")
+
+    # --- 100-material batched tabulation at res 90: the whole MERL
+    # database in one vmapped device program (fit/batch.py; the
+    # reference's examples/merl_params.cpp loops one material at a
+    # time on one CPU core)
+    if os.environ.get("BENCH_BATCH", "1") == "1":
+        def batch_rate():
+            from dj_brdf_tpu.fit.batch import tabulate_merl_batch
+            M = 100
+            tables = jax.random.uniform(
+                jax.random.PRNGKey(2), (M, 3, 90, 90, 180),
+                jnp.float32) * 0.5
+
+            def stp():
+                dists, _, ab, ag = tabulate_merl_batch(tables, 90)
+                return ab.sum() + ag.sum() + dists.qf.sum()
+            dt = _timeit(stp, 1)
+            return M / dt
+        _metric("batch_tabulate_res90_materials_per_s", batch_rate,
+                unit="materials/s")
 
     # --- full anisotropic tabulation at production resolution 90x90
     # (the reference's biggest workload, dj_brdf.h:2238-2273)

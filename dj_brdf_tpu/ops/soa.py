@@ -113,6 +113,267 @@ def split_dirs(i, o):
             o[..., 0], o[..., 1], o[..., 2])
 
 
+def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
+                     recip=None):
+    """Fused GGX VNDF sample + importance-sampled eval on component
+    arrays: one pass produces (wr, wg, wb, ix, iy, iz, pdf), the SoA
+    equivalent of ``mf.evalp_is(GGX*(), Schlick(f0), params, ...)``
+    (reference microfacet::evalp_is, dj_brdf.h:1734-1765).
+
+    The fusion wins come from sharing what the layered path computes
+    up to three times: the receiver warp (its norm IS sigma(o), so
+    G1o and the VNDF denominator are free), the sampled slopes (the
+    *standard* slopes give p22_std directly, and the *warped* slopes
+    are h's slope coordinates, so D needs no h re-projection), and
+    G/G1o collapsing to g1i/den.
+
+    ``caps=True`` samples via the spherical-cap construction
+    (GGXSphericalCaps — identical VNDF); ``caps=False`` uses the
+    reference's closed-form qf2 + rational qf3 (dj_brdf.h:2089-2146).
+
+    One deliberate edge-case difference from the layered path: for
+    receivers below the mean-normal horizon (warped o.z <= 0, where
+    the reference emits an arbitrary "up" sample) this returns
+    weight = pdf = 0 instead of the up-sample's evaluated weight.
+    """
+    if recip is None:
+        recip = lambda x: 1.0 / x
+    ax, ay, rho = pvec[0], pvec[1], pvec[2]
+    txn, tyn = pvec[3], pvec[4]
+    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    inv_axays = 1.0 / (ax * ay * s)
+
+    u1 = jnp.clip(u1, 0.0, 1.0) * 0.99998 + 0.00001
+    u2 = jnp.clip(u2, 0.0, 1.0) * 0.99998 + 0.00001
+
+    # receiver warp into the standard frame (dj_brdf.h:1686-1689);
+    # |warp(o)| recurs as sigma(o) = (nrm + c)/2
+    a_o = ox * ax + oy * ay * rho
+    b_o = oy * ay * s
+    c_o = oz - ox * txn - oy * tyn
+    q_o = a_o * a_o + b_o * b_o + c_o * c_o
+    inrm_o = jax.lax.rsqrt(jnp.maximum(q_o, 1e-24))
+    kx, ky, kz = a_o * inrm_o, b_o * inrm_o, c_o * inrm_o
+    valid = kz > 0.0
+    sig_o = (q_o * inrm_o + c_o) * 0.5
+
+    if caps:
+        # spherical-cap VNDF sampling (arXiv:2306.05044)
+        phi = (2.0 * jnp.pi) * u1
+        z = (1.0 - u2) * (1.0 + kz) - kz
+        sin_t = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+        hx_c = sin_t * jnp.cos(phi) + kx
+        hy_c = sin_t * jnp.sin(phi) + ky
+        hz_c = jnp.maximum(z + kz, 1e-12)
+        inv_hz_c = recip(hz_c)
+        tx_m = -hx_c * inv_hz_c
+        ty_m = -hy_c * inv_hz_c
+    else:
+        # reference qf2 (4-branch closed form) + qf3 (rational)
+        from dj_brdf_tpu.microfacet.ndf import GGX as _GGX
+        g = _GGX()
+        sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
+        tx = g.qf2_radial(u1, kz, sin_k)
+        ty = g.qf3_radial(u2, tx)
+        ni = sin_k == 0.0
+        nrm = jax.lax.rsqrt(jnp.maximum(kx * kx + ky * ky, 1e-24))
+        cos_pk = jnp.where(ni, 1.0, kx * nrm)
+        sin_pk = jnp.where(ni, 0.0, ky * nrm)
+        tx_m = cos_pk * tx - sin_pk * ty
+        ty_m = sin_pk * tx + cos_pk * ty
+
+    # Cholesky unwarp + mean-normal offset (dj_brdf.h:1697-1703);
+    # the warped slopes ARE h's slope coordinates
+    tx_h = ax * tx_m + txn
+    ty_h = ay * (rho * tx_m + s * ty_m) + tyn
+    q_h = tx_h * tx_h + ty_h * ty_h + 1.0
+    hn = jax.lax.rsqrt(q_h)
+    hx, hy, hz = -tx_h * hn, -ty_h * hn, hn
+
+    oh = ox * hx + oy * hy + oz * hz
+    ix = 2.0 * oh * hx - ox
+    iy = 2.0 * oh * hy - oy
+    iz = 2.0 * oh * hz - oz
+
+    # sigma(i) for the Smith GAF
+    a_i = ix * ax + iy * ay * rho
+    b_i = iy * ay * s
+    c_i = iz - ix * txn - iy * tyn
+    q_i = a_i * a_i + b_i * b_i + c_i * c_i
+    inrm_i = jax.lax.rsqrt(jnp.maximum(q_i, 1e-24))
+    sig_i = (q_i * inrm_i + c_i) * 0.5
+
+    ok_i = (c_i > 0) & (jnp.abs(sig_i) >= 1e-12)
+    ok_o = (c_o > 0) & (jnp.abs(sig_o) >= 1e-12)
+    g1i = jnp.where(ok_i, iz * recip(jnp.where(ok_i, sig_i, 1.0)), 0.0)
+    g1o = jnp.where(ok_o, oz * recip(jnp.where(ok_o, sig_o, 1.0)), 0.0)
+    tmp = g1i * g1o
+    den = g1i + g1o - tmp
+    ok_g = (tmp > 0) & (jnp.abs(den) >= 1e-12)
+    inv_den = jnp.where(ok_g, recip(jnp.where(ok_g, den, 1.0)), 0.0)
+
+    # weight = F * G / G1o = F * g1i / den (dj_brdf.h:1760)
+    w_s = g1i * inv_den
+    cosd = jnp.clip(oh, 0.0, 1.0)
+    c1 = 1.0 - cosd
+    c2 = c1 * c1
+    c5 = c2 * c2 * c1
+    ok = valid & ok_g & (tmp * inv_den > 0.0)
+    w_s = jnp.where(ok, w_s, 0.0)
+    wr = (f0r + c5 * (1.0 - f0r)) * w_s
+    wg = (f0g + c5 * (1.0 - f0g)) * w_s
+    wb = (f0b + c5 * (1.0 - f0b)) * w_s
+
+    # pdf = vndf(o) / (4 cosd) = D / (4 sigma(o)): the <o,h> factors
+    # cancel, and 1/cos^4(theta_h) = q_h^2 (h was built from slopes)
+    t1_m = 1.0 + tx_m * tx_m + ty_m * ty_m
+    inv_t1m = recip(t1_m)
+    d_ = ((1.0 / jnp.pi) * inv_axays) * q_h * q_h * (inv_t1m * inv_t1m)
+    ok_p = ok & (oh > 0.0) & (jnp.abs(sig_o) >= 1e-12)
+    pdf = jnp.where(ok_p,
+                    0.25 * d_ * recip(jnp.where(ok_p, sig_o, 1.0)), 0.0)
+
+    up_ix = jnp.zeros_like(ix)
+    ix = jnp.where(valid, ix, up_ix)
+    iy = jnp.where(valid, iy, up_ix)
+    iz = jnp.where(valid, iz, jnp.ones_like(iz))
+    return wr, wg, wb, ix, iy, iz, pdf
+
+
+def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None):
+    """Fused Beckmann VNDF sample + importance-sampled eval on
+    component arrays — the render hot loop of the LEAN/conductor path
+    (reference dj_beckmannconductor.cpp:371 -> microfacet::evalp_is
+    dj_brdf.h:1734-1765 with beckmann::qf2 1897-1952). Same contract
+    as :func:`ggx_evalp_is_soa`; Beckmann differs in the visible-slope
+    solver (9-step Newton/bisection in the erf domain, in lockstep
+    with a convergence mask) and the erf-based sigma_std."""
+    from dj_brdf_tpu.core.special import erf, erfinv
+
+    if recip is None:
+        recip = lambda x: 1.0 / x
+    sqrt_pi_inv = 0.5641895835477563
+    ax, ay, rho = pvec[0], pvec[1], pvec[2]
+    txn, tyn = pvec[3], pvec[4]
+    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    inv_axays = 1.0 / (ax * ay * s)
+
+    u1 = jnp.clip(u1, 0.0, 1.0) * 0.99998 + 0.00001
+    u2 = jnp.clip(u2, 0.0, 1.0) * 0.99998 + 0.00001
+
+    def warp(kx, ky, kz):
+        a = kx * ax + ky * ay * rho
+        b = ky * ay * s
+        c = kz - kx * txn - ky * tyn
+        q = a * a + b * b + c * c
+        inrm = jax.lax.rsqrt(jnp.maximum(q, 1e-24))
+        return a, b, c, q, inrm
+
+    def sigma_beck(c_std, nrm):
+        # nrm * sigma_std_radial(c_std) (dj_brdf.h:1871-1879)
+        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 0.0))
+        nu = c_std * recip(jnp.maximum(sin_k, 1e-12))
+        sig_std = (c_std * (1.0 + erf(nu))
+                   + sin_k * jnp.exp(-nu * nu) * sqrt_pi_inv) * 0.5
+        return nrm * jnp.where(c_std >= 1.0, 1.0, sig_std)
+
+    a_o, b_o, c_o, q_o, inrm_o = warp(ox, oy, oz)
+    kx, ky, kz = a_o * inrm_o, b_o * inrm_o, c_o * inrm_o
+    valid = kz > 0.0
+    sig_o = sigma_beck(kz, q_o * inrm_o)
+
+    # --- visible-slope Newton solver in the rotated radial frame
+    sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
+    safe_sin = jnp.maximum(sin_k, 1e-12)
+    safe_cos = jnp.maximum(kz, 1e-12)
+    cot_k = safe_cos * recip(safe_sin)
+    tan_k = sin_k * recip(safe_cos)
+    c0 = erf(cot_k)
+    uu = jnp.maximum(u1, 1e-6)
+    fit = 1.0 + kz * (-0.876 + kz * (0.4265 - 0.0594 * kz))
+    b0 = c0 - (1.0 + c0) * jnp.power(1.0 - uu, fit)
+    normalization = recip(1.0 + c0 + sqrt_pi_inv * tan_k
+                          * jnp.exp(-cot_k * cot_k))
+
+    def body(_, carry):
+        a, b, c, done = carry
+        fix = jnp.logical_not((b >= a) & (b <= c))
+        b = jnp.where(~done & fix, 0.5 * (a + c), b)
+        inv_erf = erfinv(b)
+        value = normalization * (1.0 + b + sqrt_pi_inv * tan_k
+                                 * jnp.exp(-inv_erf * inv_erf)) - uu
+        derivative = normalization * (1.0 - inv_erf * tan_k)
+        newly_done = jnp.abs(value) < 1e-5
+        upd = ~done & ~newly_done
+        c = jnp.where(upd & (value > 0), b, c)
+        a = jnp.where(upd & (value <= 0), b, a)
+        b = jnp.where(upd, b - value * recip(derivative), b)
+        return a, b, c, done | newly_done
+
+    a0 = jnp.full_like(b0, -1.0)
+    done0 = jnp.zeros_like(b0, dtype=bool)
+    _, bb, _, _ = jax.lax.fori_loop(1, 10, body, (a0, b0, c0, done0))
+    tx = erfinv(jnp.maximum(-0.9999, bb))
+    ty = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
+
+    # rotate into the azimuthal frame of k (dj_brdf.h:1830-1842)
+    ni = sin_k == 0.0
+    nrm_xy = jax.lax.rsqrt(jnp.maximum(kx * kx + ky * ky, 1e-24))
+    cos_pk = jnp.where(ni, 1.0, kx * nrm_xy)
+    sin_pk = jnp.where(ni, 0.0, ky * nrm_xy)
+    tx_m = cos_pk * tx - sin_pk * ty
+    ty_m = sin_pk * tx + cos_pk * ty
+
+    tx_h = ax * tx_m + txn
+    ty_h = ay * (rho * tx_m + s * ty_m) + tyn
+    q_h = tx_h * tx_h + ty_h * ty_h + 1.0
+    hn = jax.lax.rsqrt(q_h)
+    hx, hy, hz = -tx_h * hn, -ty_h * hn, hn
+
+    oh = ox * hx + oy * hy + oz * hz
+    ix = 2.0 * oh * hx - ox
+    iy = 2.0 * oh * hy - oy
+    iz = 2.0 * oh * hz - oz
+
+    a_i, b_i, c_i, q_i, inrm_i = warp(ix, iy, iz)
+    sig_i = sigma_beck(c_i * inrm_i, q_i * inrm_i)
+
+    ok_i = (c_i > 0) & (jnp.abs(sig_i) >= 1e-12)
+    ok_o = (c_o > 0) & (jnp.abs(sig_o) >= 1e-12)
+    g1i = jnp.where(ok_i, iz * recip(jnp.where(ok_i, sig_i, 1.0)), 0.0)
+    g1o = jnp.where(ok_o, oz * recip(jnp.where(ok_o, sig_o, 1.0)), 0.0)
+    tmp = g1i * g1o
+    den = g1i + g1o - tmp
+    ok_g = (tmp > 0) & (jnp.abs(den) >= 1e-12)
+    inv_den = jnp.where(ok_g, recip(jnp.where(ok_g, den, 1.0)), 0.0)
+
+    w_s = g1i * inv_den                      # F * G / G1o, F split below
+    cosd = jnp.clip(oh, 0.0, 1.0)
+    c1 = 1.0 - cosd
+    c2 = c1 * c1
+    c5 = c2 * c2 * c1
+    ok = valid & ok_g & (tmp * inv_den > 0.0)
+    w_s = jnp.where(ok, w_s, 0.0)
+    wr = (f0r + c5 * (1.0 - f0r)) * w_s
+    wg = (f0g + c5 * (1.0 - f0g)) * w_s
+    wb = (f0b + c5 * (1.0 - f0b)) * w_s
+
+    # pdf = D / (4 sigma(o)); Beckmann p22_std = e^{-r^2}/pi
+    r2_m = tx_m * tx_m + ty_m * ty_m
+    d_ = ((1.0 / jnp.pi) * inv_axays) * q_h * q_h * jnp.exp(-r2_m)
+    ok_p = ok & (oh > 0.0) & (jnp.abs(sig_o) >= 1e-12)
+    pdf = jnp.where(ok_p,
+                    0.25 * d_ * recip(jnp.where(ok_p, sig_o, 1.0)), 0.0)
+
+    zero = jnp.zeros_like(ix)
+    ix = jnp.where(valid, ix, zero)
+    iy = jnp.where(valid, iy, zero)
+    iz = jnp.where(valid, iz, jnp.ones_like(iz))
+    return wr, wg, wb, ix, iy, iz, pdf
+
+
 def ggx_lsq_fwdbwd_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
                        eps: float = 1e-2, recip=None):
     """Hand-written forward + adjoint of the fitting loss.

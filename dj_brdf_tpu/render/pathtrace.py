@@ -115,14 +115,14 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
 
     def bounce(carry, u_b):
         ro, rd, throughput, radiance, alive = carry
-        hit, _, n, is_sphere = _intersect(ro, rd)
+        hit, t, n, is_sphere = _intersect(ro, rd)
 
         # miss -> sky
         radiance = radiance + jnp.where(
             (alive & ~hit)[..., None], throughput * sky_rad, 0.0)
         alive = alive & hit
 
-        pos = ro + _intersect(ro, rd)[1][..., None] * rd
+        pos = ro + t[..., None] * rd
         o_loc = world_to_local(n, -rd)
 
         # next-event estimation toward the delta light
