@@ -46,7 +46,48 @@ class MicrofacetMaterial:
     def pdf(self, i, o):
         return mf.pdf(self.dist, self.params, i, o)
 
+    def _fused_pvec(self):
+        """(8,) pvec for the fused SoA samplers, or None when the
+        material shape doesn't qualify (textured params, non-Schlick
+        Fresnel, other distributions)."""
+        from dj_brdf_tpu import fresnel as _fres
+        from dj_brdf_tpu.microfacet.ndf import (GGX as _GGX,
+                                                Beckmann as _Beck)
+        p = self.params
+        if not isinstance(self.fres, _fres.Schlick):
+            return None
+        if not (type(self.dist) is _Beck or isinstance(self.dist, _GGX)):
+            return None
+        leaves = (p.ax, p.ay, p.rho, p.txn, p.tyn)
+        if any(getattr(x, "ndim", 0) != 0 for x in leaves):
+            return None
+        f0 = jnp.asarray(self.fres.f0)
+        if f0.shape != (3,):
+            return None
+        return jnp.stack([jnp.asarray(x, jnp.float32) for x in leaves]
+                         + [f0[0], f0[1], f0[2]])
+
     def evalp_is(self, u1, u2, o):
+        """Sample + weight. Uniform GGX/Beckmann + Schlick materials
+        route through the fused SoA kernels (ops/soa.py), which skip
+        the layered path's repeated warps; other shapes fall back to
+        the general path. (Fused edge-case difference: receivers below
+        the mean-normal horizon get weight = pdf = 0 instead of an
+        arbitrary up-sample's values.)"""
+        pvec = self._fused_pvec()
+        if pvec is not None:
+            from dj_brdf_tpu.microfacet.ndf import (Beckmann as _Beck,
+                                                    GGXSphericalCaps as _Caps)
+            from dj_brdf_tpu.ops import soa as _soa
+            ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+            if type(self.dist) is _Beck:
+                out = _soa.beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz)
+            else:
+                out = _soa.ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz,
+                                            caps=isinstance(self.dist, _Caps))
+            wr, wg, wb, ix, iy, iz, pdf = out
+            return (jnp.stack([wr, wg, wb], -1),
+                    jnp.stack([ix, iy, iz], -1), pdf)
         return mf.evalp_is(self.dist, self.fres, self.params, u1, u2, o)
 
 

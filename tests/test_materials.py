@@ -119,3 +119,38 @@ def test_autodiff_gradient_matches_oracle_finite_differences():
     # compare where the finite difference is well-conditioned
     scale = np.abs(fd) + 1e-2
     np.testing.assert_allclose(ad / scale, fd / scale, atol=5e-2)
+
+
+def test_microfacet_material_fused_dispatch():
+    """MicrofacetMaterial.evalp_is routes uniform GGX/Beckmann+Schlick
+    through the fused SoA kernels and falls back for textured params /
+    other Fresnels — both paths agreeing numerically."""
+    import numpy as np
+    from dj_brdf_tpu.microfacet.ndf import Beckmann, GGX
+    from dj_brdf_tpu.microfacet import brdf as mf
+
+    n = 4096
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n,))
+    o = jnp.broadcast_to(jnp.asarray([0.25, -0.1, 0.96]), (n, 3))
+    params = MicrofacetParams.elliptic(0.4, 0.2, 0.3)
+    fres = fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32))
+
+    for dist in (GGX(), Beckmann()):
+        m = MicrofacetMaterial(dist=dist, fres=fres, params=params)
+        assert m._fused_pvec() is not None
+        w, i, p = m.evalp_is(u1, u2, o)
+        w2, i2, p2 = mf.evalp_is(dist, fres, params, u1, u2, o)
+        ok = np.isclose(np.asarray(w), np.asarray(w2),
+                        rtol=5e-4, atol=5e-5).mean()
+        assert ok > 0.999
+
+    # textured params -> fallback
+    tex = MicrofacetParams.elliptic(jnp.full((8, 8), 0.4), 0.2, 0.3)
+    mt = MicrofacetMaterial(dist=GGX(), fres=fres, params=tex)
+    assert mt._fused_pvec() is None
+    # non-Schlick fresnel -> fallback
+    mi = MicrofacetMaterial(dist=GGX(), fres=fresnel.Ideal(), params=params)
+    assert mi._fused_pvec() is None
