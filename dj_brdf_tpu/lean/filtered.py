@@ -76,3 +76,22 @@ class FilteredBeckmannMaterial:
 
     def pdf(self, i, o):
         return mf.pdf(Beckmann(), self.params(), i, o)
+
+    def evalp_is(self, u1, u2, o):
+        """Sample + weight (reference evalp_is dj_brdf.h:1734-1765
+        with the plugin's conductor Fresnel, dj_beckmannconductor.cpp:
+        371-428) via the fused SoA Beckmann kernel — params may be
+        per-pixel (the LEAN case), they broadcast per lane."""
+        from dj_brdf_tpu.fresnel import conductor_fresnel
+        from dj_brdf_tpu.ops.soa import beckmann_evalp_is_soa
+        p = self.params()
+
+        def cond_f(cosd):
+            f = conductor_fresnel(cosd, self.eta, self.k)
+            return f[..., 0], f[..., 1], f[..., 2]
+
+        wr, wg, wb, ix, iy, iz, pdf = beckmann_evalp_is_soa(
+            (p.ax, p.ay, p.rho, p.txn, p.tyn), u1, u2,
+            o[..., 0], o[..., 1], o[..., 2], fresnel_fn=cond_f)
+        return (jnp.stack([wr, wg, wb], -1),
+                jnp.stack([ix, iy, iz], -1), pdf)

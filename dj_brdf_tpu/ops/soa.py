@@ -114,7 +114,7 @@ def split_dirs(i, o):
 
 
 def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
-                     recip=None):
+                     recip=None, fresnel_fn=None):
     """Fused GGX VNDF sample + importance-sampled eval on component
     arrays: one pass produces (wr, wg, wb, ix, iy, iz, pdf), the SoA
     equivalent of ``mf.evalp_is(GGX*(), Schlick(f0), params, ...)``
@@ -140,7 +140,8 @@ def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
         recip = lambda x: 1.0 / x
     ax, ay, rho = pvec[0], pvec[1], pvec[2]
     txn, tyn = pvec[3], pvec[4]
-    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    if fresnel_fn is None:
+        f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
     s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     inv_axays = 1.0 / (ax * ay * s)
 
@@ -221,9 +222,15 @@ def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
     c5 = c2 * c2 * c1
     ok = valid & ok_g & (tmp * inv_den > 0.0)
     w_s = jnp.where(ok, w_s, 0.0)
-    wr = (f0r + c5 * (1.0 - f0r)) * w_s
-    wg = (f0g + c5 * (1.0 - f0g)) * w_s
-    wb = (f0b + c5 * (1.0 - f0b)) * w_s
+    if fresnel_fn is None:
+        Fr = f0r + c5 * (1.0 - f0r)
+        Fg = f0g + c5 * (1.0 - f0g)
+        Fb = f0b + c5 * (1.0 - f0b)
+    else:
+        Fr, Fg, Fb = fresnel_fn(cosd)
+    wr = Fr * w_s
+    wg = Fg * w_s
+    wb = Fb * w_s
 
     # pdf = vndf(o) / (4 cosd) = D / (4 sigma(o)): the <o,h> factors
     # cancel, and 1/cos^4(theta_h) = q_h^2 (h was built from slopes)
@@ -241,7 +248,8 @@ def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
     return wr, wg, wb, ix, iy, iz, pdf
 
 
-def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None):
+def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
+                          fresnel_fn=None):
     """Fused Beckmann VNDF sample + importance-sampled eval on
     component arrays — the render hot loop of the LEAN/conductor path
     (reference dj_beckmannconductor.cpp:371 -> microfacet::evalp_is
@@ -256,7 +264,8 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None):
     sqrt_pi_inv = 0.5641895835477563
     ax, ay, rho = pvec[0], pvec[1], pvec[2]
     txn, tyn = pvec[3], pvec[4]
-    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    if fresnel_fn is None:
+        f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
     s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     inv_axays = 1.0 / (ax * ay * s)
 
@@ -356,9 +365,15 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None):
     c5 = c2 * c2 * c1
     ok = valid & ok_g & (tmp * inv_den > 0.0)
     w_s = jnp.where(ok, w_s, 0.0)
-    wr = (f0r + c5 * (1.0 - f0r)) * w_s
-    wg = (f0g + c5 * (1.0 - f0g)) * w_s
-    wb = (f0b + c5 * (1.0 - f0b)) * w_s
+    if fresnel_fn is None:
+        Fr = f0r + c5 * (1.0 - f0r)
+        Fg = f0g + c5 * (1.0 - f0g)
+        Fb = f0b + c5 * (1.0 - f0b)
+    else:
+        Fr, Fg, Fb = fresnel_fn(cosd)
+    wr = Fr * w_s
+    wg = Fg * w_s
+    wb = Fb * w_s
 
     # pdf = D / (4 sigma(o)); Beckmann p22_std = e^{-r^2}/pi
     r2_m = tx_m * tx_m + ty_m * ty_m

@@ -123,3 +123,44 @@ def test_filtered_material_evalp_finite():
     idir = mat.sample(jnp.float32(0.3), jnp.float32(0.7), o)
     assert np.isfinite(np.asarray(idir)).all()
     assert float(mat.pdf(idir, o)) >= 0.0
+
+
+def test_filtered_material_evalp_is_per_pixel():
+    """FilteredBeckmannMaterial.evalp_is (fused SoA kernel, per-pixel
+    LEAN params + conductor Fresnel) == layered mf.evalp_is with the
+    conductor factor applied on top (dj_beckmannconductor.cpp:371-428)."""
+    import jax
+    from dj_brdf_tpu import fresnel as fm
+    from dj_brdf_tpu.core.math import dot, normalize
+    from dj_brdf_tpu.fresnel import conductor_fresnel
+    from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+    from dj_brdf_tpu.microfacet import brdf as mf
+    from dj_brdf_tpu.microfacet.ndf import Beckmann
+
+    n = 8192
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n,))
+    e1 = jax.random.uniform(k3, (n,), minval=-0.3, maxval=0.3)
+    lean = Lrep(E1=e1, E2=-e1 * 0.5, E3=e1 * e1 + 0.05,
+                E4=e1 * e1 * 0.25 + 0.08, E5=-e1 * e1 * 0.5 + 0.01)
+    mat = FilteredBeckmannMaterial(
+        lean=lean, base_params=MicrofacetParams.isotropic(0.2),
+        eta=jnp.asarray([0.2, 0.92, 1.1], jnp.float32),
+        k=jnp.asarray([3.9, 2.45, 2.14], jnp.float32))
+    o = jnp.broadcast_to(
+        jnp.asarray([0.3, -0.2, jnp.sqrt(1 - 0.09 - 0.04)]), (n, 3))
+
+    w, i, p = mat.evalp_is(u1, u2, o)
+    params = mat.params()
+    w2, i2, p2 = mf.evalp_is(Beckmann(), fm.Ideal(), params, u1, u2, o)
+    h = normalize(i2 + o, eps=1e-24)
+    f = conductor_fresnel(jnp.clip(dot(o, h), 0.0, 1.0), mat.eta, mat.k)
+    w2 = w2 * f
+    for got, want, atol in ((np.asarray(i), np.asarray(i2), 2e-5),
+                            (np.asarray(w), np.asarray(w2), 1e-4),
+                            (np.asarray(p), np.asarray(p2), 1e-4)):
+        close = np.isclose(got, want, rtol=1e-3, atol=atol)
+        assert close.mean() > 0.999, f"frac bad {1 - close.mean()}"
+    assert float((np.asarray(p) > 0).mean()) > 0.9
