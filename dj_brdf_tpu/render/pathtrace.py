@@ -79,15 +79,18 @@ def _material_eval(mats, is_sphere, fn_name, *args):
     return jax.tree_util.tree_map(sel, a, b)
 
 
-@partial(jax.jit, static_argnames=("res", "spp", "max_bounces"))
+@partial(jax.jit, static_argnames=("res", "spp", "max_bounces", "mesh"))
 def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
            res: int = 256, spp: int = 8, max_bounces: int = 3,
-           key=None):
+           key=None, mesh=None):
     """Path-trace the scene. Returns an (res, res, 3) HDR image.
 
     ``sphere_mat``/``floor_mat``: any material with evalp/evalp_is in
     the local frame (see render.materials). ``light_dir`` points
-    *toward* the light (a delta directional light)."""
+    *toward* the light (a delta directional light). With ``mesh``, the
+    ray batch is sharding-constrained over the mesh's data axis so XLA
+    partitions the whole per-ray pipeline across devices (materials
+    replicate; res*res*spp should divide the device count)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     light_dir = normalize(jnp.asarray(light_dir, jnp.float32))
@@ -112,6 +115,15 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     ro = jnp.broadcast_to(cam_pos, rd.shape)
 
     u = jax.random.uniform(key, (max_bounces, n_rays, 2))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dj_brdf_tpu.parallel.mesh import DATA_AXIS
+        ray_s = NamedSharding(mesh, P(DATA_AXIS))
+        ro = jax.lax.with_sharding_constraint(ro, ray_s)
+        rd = jax.lax.with_sharding_constraint(rd, ray_s)
+        u = jax.lax.with_sharding_constraint(
+            u, NamedSharding(mesh, P(None, DATA_AXIS)))
 
     def bounce(carry, u_b):
         ro, rd, throughput, radiance, alive = carry

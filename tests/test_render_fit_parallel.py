@@ -8,7 +8,7 @@ from dj_brdf_tpu import fresnel
 from dj_brdf_tpu.core.math import from_spherical
 from dj_brdf_tpu.fit import lsq
 from dj_brdf_tpu.microfacet import brdf as mf
-from dj_brdf_tpu.microfacet.ndf import GGX
+from dj_brdf_tpu.microfacet.ndf import GGX, Beckmann
 from dj_brdf_tpu.microfacet.params import MicrofacetParams
 from dj_brdf_tpu.models.lambert import Lambert
 from dj_brdf_tpu.parallel import integrals
@@ -165,3 +165,24 @@ def test_path_tracer_white_furnace_bound():
     assert float(img.max()) <= 1.0 + 1e-4
     # most of the frame should be close to the furnace value
     assert float(jnp.median(img)) > 0.6
+
+
+def test_path_tracer_sharded_matches_unsharded():
+    """mesh-sharded path trace == single-device path trace (rays shard
+    over the data axis, materials replicate)."""
+    from dj_brdf_tpu.render import materials, pathtrace
+
+    sphere = materials.MicrofacetMaterial(
+        dist=GGX(), fres=fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3])),
+        params=MicrofacetParams.elliptic(0.3, 0.15, 0.7))
+    floor = materials.MicrofacetMaterial(
+        dist=Beckmann(), fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+        params=MicrofacetParams.isotropic(0.5))
+    args = (sphere, floor, jnp.asarray([0.3, 0.4, 0.8], jnp.float32),
+            jnp.asarray([4.0, 4.0, 4.0]), jnp.asarray([0.3, 0.35, 0.4]))
+
+    img0 = pathtrace.render(*args, res=32, spp=8, max_bounces=2)
+    mesh = make_mesh(8)
+    img1 = pathtrace.render(*args, res=32, spp=8, max_bounces=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=1e-5, atol=1e-6)
