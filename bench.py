@@ -24,6 +24,7 @@ Run on the real TPU: `python bench.py`. Optional env:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -103,7 +104,11 @@ def main() -> None:
     print(f"# {n} evals x {iters} iters in {dt:.3f}s", file=sys.stderr)
 
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
-        _secondary_metrics(i, o, n, min(iters, 20))
+        try:
+            _secondary_metrics(i, o, n, min(iters, 20))
+        except Exception as e:  # never lose the headline JSON line
+            print(f"# secondary metrics aborted: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "ggx_evalp_fwdbwd_evals_per_s_per_chip",
@@ -180,34 +185,24 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
     _metric("ggx_caps_sample_evalp_is_per_s",
             lambda: sample_rate(GGXSphericalCaps()))
 
-    # fused SoA sample+eval (ops/soa.py::ggx_evalp_is_soa): one pass
-    # shares the receiver warp / sigma / slope work the layered path
-    # recomputes
-    from dj_brdf_tpu.ops.soa import ggx_evalp_is_soa
+    # fused SoA sample+eval (ops/soa.py): one pass shares the receiver
+    # warp / sigma / slope work the layered path recomputes
+    from dj_brdf_tpu.ops.soa import beckmann_evalp_is_soa, ggx_evalp_is_soa
 
-    def fused_sample_rate(caps):
+    def fused_sample_rate(kernel):
         pv = jnp.stack([params.ax, params.ay, params.rho, params.txn,
                         params.tyn] + list(fres.f0)).astype(jnp.float32)
         stp = jax.jit(lambda pv, u1, u2, ox, oy, oz: sum(
-            jnp.sum(x) for x in ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz,
-                                                 caps=caps)))
+            jnp.sum(x) for x in kernel(pv, u1, u2, ox, oy, oz)))
         ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
         dt = _timeit(lambda: stp(pv, u1, u2, ox, oy, oz), iters)
         return n * iters / dt
-    _metric("ggx_caps_evalp_is_soa_per_s", lambda: fused_sample_rate(True))
-    _metric("ggx_qf_evalp_is_soa_per_s", lambda: fused_sample_rate(False))
-
-    def fused_beckmann_rate():
-        from dj_brdf_tpu.ops.soa import beckmann_evalp_is_soa
-        pv = jnp.stack([params.ax, params.ay, params.rho, params.txn,
-                        params.tyn] + list(fres.f0)).astype(jnp.float32)
-        stp = jax.jit(lambda pv, u1, u2, ox, oy, oz: sum(
-            jnp.sum(x) for x in beckmann_evalp_is_soa(pv, u1, u2,
-                                                      ox, oy, oz)))
-        ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
-        dt = _timeit(lambda: stp(pv, u1, u2, ox, oy, oz), iters)
-        return n * iters / dt
-    _metric("beckmann_evalp_is_soa_per_s", fused_beckmann_rate)
+    _metric("ggx_caps_evalp_is_soa_per_s", lambda: fused_sample_rate(
+        functools.partial(ggx_evalp_is_soa, caps=True)))
+    _metric("ggx_qf_evalp_is_soa_per_s", lambda: fused_sample_rate(
+        functools.partial(ggx_evalp_is_soa, caps=False)))
+    _metric("beckmann_evalp_is_soa_per_s",
+            lambda: fused_sample_rate(beckmann_evalp_is_soa))
 
     # --- path tracer (render/pathtrace.py; the reference delegates to
     # Mitsuba's integrator around its BSDF plugins)

@@ -84,6 +84,7 @@ def main(argv=None) -> int:
     fres = fresnel.Schlick(f0=jnp.asarray(args.f0, jnp.float32))
 
     textured = args.alpha1_map or args.alpha2_map or args.alpha_angle_map
+    tab_textured_params = None
     if textured:
         # per-shading-point roughness: sample the maps at the preview
         # sphere's UVs and build per-pixel elliptic params — the
@@ -92,6 +93,10 @@ def main(argv=None) -> int:
         if args.pathtrace:
             ap.error("textured roughness requires the sphere renderer "
                      "(drop --pathtrace)")
+        if args.model not in ("ggx", "beckmann", "merl_tab", "utia_tab"):
+            ap.error(f"--alpha*-map textures apply to the microfacet "
+                     f"models (ggx/beckmann/merl_tab/utia_tab), not "
+                     f"{args.model}")
         from dj_brdf_tpu.render.sphere import (sample_texture,
                                                sphere_normals, sphere_uv)
         n_tex, _ = sphere_normals(args.res)
@@ -107,6 +112,13 @@ def main(argv=None) -> int:
             tex_or(args.alpha1_map, args.alpha1),
             tex_or(args.alpha2_map, a2),
             tex_or(args.alpha_angle_map, args.alpha_angle))
+        # for the tabulated-NDF models the untextured base roughness is
+        # the standard unit frame, so unmapped components default to
+        # 1.0 / 0.0 rather than the analytic-model defaults
+        tab_textured_params = MicrofacetParams.elliptic(
+            tex_or(args.alpha1_map, 1.0),
+            tex_or(args.alpha2_map, 1.0),
+            tex_or(args.alpha_angle_map, 0.0))
 
     if args.model in ("ggx", "beckmann"):
         dist = GGX() if args.model == "ggx" else Beckmann()
@@ -152,7 +164,8 @@ def main(argv=None) -> int:
         # base roughness (dj_brdf.cpp:353-357 with baseRoughness = 1)
         mat = MicrofacetMaterial(
             dist=tab, fres=tab_fres,
-            params=params if textured else MicrofacetParams.standard())
+            params=(tab_textured_params if textured
+                    else MicrofacetParams.standard()))
     elif args.model == "utia_fit":
         # the dj_brdf plugin's UTIA path: anisotropic tabulation at
         # scene load, base roughness from the anisotropic moment fit
@@ -177,7 +190,8 @@ def main(argv=None) -> int:
             u, args.fit_res, args.fit_res)
         mat = MicrofacetMaterial(
             dist=tab, fres=tab_fres,
-            params=params if textured else MicrofacetParams.standard())
+            params=(tab_textured_params if textured
+                    else MicrofacetParams.standard()))
     elif args.model == "lean":
         # the dj_beckmannconductor plugin: LEAN maps + base roughness +
         # exact conductor Fresnel (mitsuba/dj_beckmannconductor.cpp)

@@ -19,8 +19,12 @@ def _log_alpha(name, alpha):
     """DJB_LOG parity: the reference prints each fitted alpha
     (dj_brdf.h:3154, 3180, 3237). Skipped under trace (vmap/jit)."""
     import jax
-    if not isinstance(alpha, jax.core.Tracer):
-        from dj_brdf_tpu.config import logger
+    import logging
+    from dj_brdf_tpu.config import logger
+    if (not isinstance(alpha, jax.core.Tracer)
+            and logger.isEnabledFor(logging.DEBUG)):
+        # float() is a blocking device readback — only pay it when
+        # debug logging is actually on
         logger.debug("%s: alpha = %.9g", name, float(alpha))
 
 

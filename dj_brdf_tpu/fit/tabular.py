@@ -190,10 +190,19 @@ def compute_fresnel(brdf, p22: jnp.ndarray, sigma: jnp.ndarray,
 
 
 def _fresnel_points(eval_fn, model, p22, sigma, res, shadow):
-    ft = p22.dtype
-    cnt = res - 1
     dist = Tabular(p22=p22, sigma=sigma, cdf=jnp.zeros_like(p22),
                    qf=jnp.zeros_like(p22))
+    return fresnel_ratio_points(eval_fn, model, dist, res, shadow, p22.dtype)
+
+
+def fresnel_ratio_points(eval_fn, model, dist, res, shadow, dtype):
+    """Shared Fresnel-extraction core (reference compute_fresnel,
+    dj_brdf.h:2583-2641): per-theta_d average of measured/microfacet
+    ratios with i pinned to the normal (the reference's "XXX hack",
+    :2609), ratios capped at 1. ``dist`` is the microfacet proxy the
+    ratio divides by — the iso Tabular or a TabularAnisotropic."""
+    ft = jnp.dtype(dtype)
+    cnt = res - 1
     params = MicrofacetParams.standard()
     ideal = fresnel_mod.Ideal()
 
@@ -303,7 +312,10 @@ def build_tabular(brdf, res: int, shadow: bool = True, use_jit: bool = True):
     p22, sigma, cdf, qf, fres_pts, nint = stage2(model, p22_raw)
     # DJB_LOG parity: the reference logs the normalization constant
     # (dj_brdf.h:2302) — surfaced here at debug level
-    config.logger.debug("tabular: normalize_p22 nint = %.9g", float(nint))
+    import logging
+    if (not isinstance(nint, jax.core.Tracer)
+            and config.logger.isEnabledFor(logging.DEBUG)):
+        config.logger.debug("tabular: normalize_p22 nint = %.9g", float(nint))
     dist = Tabular(p22=p22, sigma=sigma, cdf=cdf, qf=qf)
     return dist, fresnel_mod.SplineFresnel(points=fres_pts)
 

@@ -370,8 +370,11 @@ def build_tabular_anisotropic(brdf, elevation_res: int,
     p22_raw = out1 if on_device else \
         power_iteration_p22(out1, elevation_res, azimuthal_res)
     p22, sigma, pdf1, cdf1, qf1, pdf2, cdf2, qf2, nint = stage2(p22_raw)
-    config.logger.debug("tabular_anisotropic: normalize nint = %.9g",
-                        float(nint))
+    import logging
+    if (not isinstance(nint, jax.core.Tracer)
+            and config.logger.isEnabledFor(logging.DEBUG)):
+        config.logger.debug("tabular_anisotropic: normalize nint = %.9g",
+                            float(nint))
 
     dist = TabularAnisotropic(p22=p22, sigma=sigma, pdf1=pdf1, cdf1=cdf1,
                               qf1_table=qf1, pdf2=pdf2, cdf2=cdf2,
@@ -384,41 +387,13 @@ def build_tabular_anisotropic(brdf, elevation_res: int,
 
 
 def _compute_fresnel_aniso(eval_fn, model, dist, res, shadow, use_jit):
+    """Fresnel extraction against the anisotropic table — the shared
+    ratio core from fit.tabular with this dist as the proxy."""
+    from dj_brdf_tpu.fit.tabular import fresnel_ratio_points
+
     def run(model, dist):
-        # reuse the iso fresnel ratio logic but with the aniso
-        # distribution's eval (microfacet eval with standard params)
-        from dj_brdf_tpu.microfacet import brdf as mf
-        from dj_brdf_tpu.microfacet.params import MicrofacetParams
-        ft = dist.p22.dtype.type
-        cnt = res - 1
-        params = MicrofacetParams.standard()
-        ideal = fresnel_mod.Ideal()
-        tmp = jnp.arange(cnt, dtype=ft) / cnt
-        theta_d = tmp * ft(np.pi * 0.5)
-        nj = 2 * cnt
-        j = jnp.arange(nj, dtype=ft)
-        theta_h = (j / cnt) ** 2 * ft(np.pi * 0.5)
-        theta_h_prev = jnp.concatenate([jnp.zeros(1, dist.p22.dtype),
-                                        theta_h[:-1]])
-        active = (theta_h_prev[None, :]
-                  < (ft(np.pi * 0.5) - theta_d[:, None])) \
-            & (theta_h[None, :] <= ft(np.pi * 0.5))
-        TH = jnp.broadcast_to(theta_h[None, :], (cnt, nj))
-        TD = jnp.broadcast_to(theta_d[:, None], (cnt, nj))
-        dir_h = from_spherical(TH, jnp.zeros_like(TH))
-        dir_d = from_spherical(TD, jnp.full_like(TD, ft(np.pi * 0.5)))
-        _, dir_o = hd_to_io(dir_h, dir_d)
-        dir_i = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dist.p22.dtype),
-                                 dir_o.shape)
-        fr1 = eval_fn(model, dir_i, dir_o).astype(dist.p22.dtype)
-        fr2 = mf.eval(dist, ideal, params, dir_i, dir_o, shadow)
-        ok = active[..., None] & (fr2 > 1e-4)
-        ratio = jnp.where(ok, fr1 / jnp.where(ok, fr2, 1.0), 0.0)
-        count = jnp.sum(ok, axis=1)
-        total = jnp.sum(ratio, axis=1)
-        avg = jnp.where(count == 0, 1.0,
-                        jnp.minimum(1.0, total / jnp.maximum(count, 1)))
-        return jnp.concatenate([avg, avg[-1:]], axis=0)
+        return fresnel_ratio_points(eval_fn, model, dist, res, shadow,
+                                    dist.p22.dtype)
 
     if use_jit:
         run = jax.jit(run)

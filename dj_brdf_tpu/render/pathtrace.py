@@ -90,7 +90,7 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     *toward* the light (a delta directional light). With ``mesh``, the
     ray batch is sharding-constrained over the mesh's data axis so XLA
     partitions the whole per-ray pipeline across devices (materials
-    replicate; res*res*spp should divide the device count)."""
+    replicate; the device count should divide res*res*spp)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     light_dir = normalize(jnp.asarray(light_dir, jnp.float32))
