@@ -331,19 +331,29 @@ def compute_qf2(cdf2: jnp.ndarray) -> jnp.ndarray:
 
 def build_tabular_anisotropic(brdf, elevation_res: int,
                               azimuthal_res: int, shadow: bool = True,
-                              use_jit: bool = True):
+                              use_jit: bool = True, power: str = "auto",
+                              mesh=None):
     """Full pipeline (reference ctor dj_brdf.h:2238-2273).
 
     ``brdf``: a model pytree with ``.eval`` (preferred) or a bare
-    ``eval_fn(i, o)``. Small kernels (n <= HOST_F64_MAX_N) pull the
-    matrix to the host for the reference's float64 power iteration;
-    production sizes (e.g. the 8010^2 matrix of the 90x90 UTIA fit)
-    build, iterate and discard the matrix in one on-device program.
+    ``eval_fn(i, o)``. ``power`` selects the stage-1 extraction:
+    "auto" pulls small kernels (n <= HOST_F64_MAX_N) to the host for
+    the reference's float64 power iteration and keeps production sizes
+    (e.g. the 8010^2 matrix of the 90x90 UTIA fit) entirely on device
+    (the matrix is built, iterated and discarded in one program);
+    "host" / "device" force one path (parity tests compare the two).
+    ``mesh``: a jax Mesh — stage 1 then never materializes more than
+    n/D kernel columns per device (parallel.power.aniso_p22_sharded)
+    and stage 2 runs on the gathered table; the one-call multi-chip
+    extraction of SURVEY §2.4.
 
     Returns (TabularAnisotropic, SplineFresnel)."""
     eval_fn, model = as_model_eval(brdf)
     n = (elevation_res - 1) * azimuthal_res
-    on_device = n > HOST_F64_MAX_N
+    if power not in ("auto", "host", "device"):
+        raise ValueError(f"power must be auto|host|device, got {power!r}")
+    on_device = (n > HOST_F64_MAX_N) if power == "auto" else \
+        (power == "device")
 
     def stage1(model):
         A = _kernel_matrix(eval_fn, model, elevation_res, azimuthal_res)
@@ -366,9 +376,14 @@ def build_tabular_anisotropic(brdf, elevation_res: int,
         stage1 = jax.jit(stage1)
         stage2 = jax.jit(stage2)
 
-    out1 = stage1(model)
-    p22_raw = out1 if on_device else \
-        power_iteration_p22(out1, elevation_res, azimuthal_res)
+    if mesh is not None:
+        from dj_brdf_tpu.parallel.power import aniso_p22_sharded
+        p22_raw = aniso_p22_sharded(brdf, elevation_res, azimuthal_res,
+                                    mesh).astype(config.default_float())
+    else:
+        out1 = stage1(model)
+        p22_raw = out1 if on_device else \
+            power_iteration_p22(out1, elevation_res, azimuthal_res)
     p22, sigma, pdf1, cdf1, qf1, pdf2, cdf2, qf2, nint = stage2(p22_raw)
     import logging
     if (not isinstance(nint, jax.core.Tracer)

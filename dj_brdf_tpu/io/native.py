@@ -64,11 +64,17 @@ def load_merl(path: str) -> np.ndarray:
 
 
 def load_utia(path: str) -> np.ndarray:
-    """(3, 6, 48, 6, 48) normalized float32 table via the native parser."""
+    """(3, 6, 48, 6, 48) normalized float32 table via the native parser.
+    A positive return from the native call is the clamped-negative
+    sample count (DJB_LOG parity with utia::normalize,
+    dj_brdf.h:1162-1177)."""
     out = np.empty(3 * 6 * 48 * 6 * 48, np.float32)
     rc = _load().djbio_load_utia(path.encode(), out)
-    if rc != 0:
+    if rc < 0:
         raise ValueError(f"djbio_load_utia({path!r}) failed: {rc}")
+    if rc > 0:
+        from dj_brdf_tpu.config import logger
+        logger.debug("utia %s: clamped %d negative samples", path, rc)
     return out.reshape(3, 6, 48, 6, 48)
 
 

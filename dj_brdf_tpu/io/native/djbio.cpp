@@ -52,24 +52,29 @@ int djbio_load_merl(const char *path, float *out /* kMerlCount */) {
     return 0;
 }
 
+// Returns the number of clamped negative samples (>= 0) so the caller
+// can reproduce the reference's per-value warning (dj_brdf.h:1166-1169)
+// as an aggregated DJB_LOG count; negative return = error.
 int djbio_load_utia(const char *path, float *out /* kUtiaCount */) {
     FILE *f = fopen(path, "rb");
     if (!f) return -1;
     const long chunk = 1 << 16;
     double buf[chunk];
     long done = 0;
+    long negatives = 0;
     const float scale = 1.0f / 140.0f;  // dj_brdf.h:1174
     while (done < kUtiaCount) {
         long want = kUtiaCount - done < chunk ? kUtiaCount - done : chunk;
         if ((long)fread(buf, 8, want, f) != want) { fclose(f); return -4; }
         for (long k = 0; k < want; ++k) {
+            negatives += buf[k] < 0.0;
             double v = buf[k] < 0.0 ? 0.0 : buf[k];  // clamp, dj_brdf.h:1170
             out[done + k] = (float)(v * scale);
         }
         done += want;
     }
     fclose(f);
-    return 0;
+    return negatives > 0x7fffffff ? 0x7fffffff : (int)negatives;
 }
 
 // displacement (h*w, [0,1]) -> unit normals (h*w*3), central differences

@@ -116,6 +116,27 @@ def merl_flat_index(i, o):
 _SCALES = (RED_SCALE, GREEN_SCALE, BLUE_SCALE)
 
 
+def _debug_below_horizon(mask) -> None:
+    """DJB_LOG parity with merl::eval's per-eval "below horizon"
+    warning (dj_brdf.h:1016-1021), aggregated to a count per eval
+    batch. Gated at TRACE time on the logger's DEBUG level so the
+    default path adds zero device work (like the reference's NVERBOSE
+    compile flag); toggling the level needs `jax.clear_caches()` to
+    take effect on already-jitted programs."""
+    import logging
+
+    from dj_brdf_tpu.config import logger
+    if not logger.isEnabledFor(logging.DEBUG):
+        return
+
+    def log(count):
+        if int(count) > 0:
+            logger.debug("merl eval: %d below-horizon lookups set to 0",
+                         int(count))
+
+    jax.debug.callback(log, jnp.sum(mask))
+
+
 @pytree_dataclass
 class Merl:
     """MERL table BRDF. ``table``: (3, 90, 90, 180) raw (unscaled)
@@ -143,6 +164,7 @@ class Merl:
         rgb = jnp.take(inter, idx, axis=0, mode="clip")
         rgb = rgb * jnp.asarray(_SCALES, rgb.dtype)
         below_horizon = jnp.any(rgb < 0.0, axis=-1, keepdims=True)
+        _debug_below_horizon(below_horizon)
         return jnp.where(below_horizon, 0.0, rgb)
 
     def evalp(self, i, o):

@@ -83,14 +83,22 @@ def aniso_p22_sharded(brdf, elevation_res: int, azimuthal_res: int,
     h = azimuthal_res
     n = w * h
     n_dev = mesh.devices.size
-    assert n % n_dev == 0, f"n={n} not divisible by mesh size {n_dev}"
+    # pad the *column* (output-entry) space to a device multiple: a
+    # padded column has kji_tmp1 = 0, so its kernel column — and thus
+    # its output entry — is identically zero and is sliced away from
+    # the gathered iterate before the next matvec
+    n_pad = ((n + n_dev - 1) // n_dev) * n_dev
 
     xo, yo, zo, kji_tmp1 = _aniso_col_terms(eval_fn, elevation_res,
                                             azimuthal_res)
-    out_idx = jnp.arange(n)
 
-    def block_fn(out_idx_blk, xo_b, yo_b, zo_b, k1_b):
-        # this shard owns output entries out_idx_blk (columns of K);
+    def pad(a):
+        return jnp.concatenate([a, jnp.zeros((n_pad - n,), a.dtype)])
+
+    xo, yo, zo, kji_tmp1 = pad(xo), pad(yo), pad(zo), pad(kji_tmp1)
+
+    def block_fn(xo_b, yo_b, zo_b, k1_b):
+        # this shard owns a block of output entries (columns of K);
         # kernel entries K(row, col) for all rows x my columns
         row_idx = jnp.arange(n)
         s1, s2, wgt = _aniso_row_terms(row_idx, elevation_res, azimuthal_res)
@@ -100,19 +108,19 @@ def aniso_p22_sharded(brdf, elevation_res: int, azimuthal_res: int,
         m_dot_o = (zo_b[None, :] - s1[:, None] * xo_b[None, :]
                    - s2[:, None] * yo_b[None, :])
         K_blk = (k1_b[None, :] * wgt[:, None]
-                 * jnp.maximum(0.0, m_dot_o))          # (n, n/D)
+                 * jnp.maximum(0.0, m_dot_o))          # (n, n_pad/D)
 
         v = jnp.ones((n,), jnp.float32)
-        for _ in range(iterations):
-            partial = v @ K_blk                        # (n/D,) my outputs
-            v = jax.lax.all_gather(partial, DATA_AXIS, tiled=True)
-        return v[out_idx_blk]
+        partial = v @ K_blk
+        for _ in range(iterations - 1):
+            v = jax.lax.all_gather(partial, DATA_AXIS, tiled=True)[:n]
+            partial = v @ K_blk                        # (n_pad/D,) my outputs
+        return partial
 
     fn = jax.jit(shard_map(
         block_fn, mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS)),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS)))
-    v = fn(out_idx, xo, yo, zo, kji_tmp1)
+    v = fn(xo, yo, zo, kji_tmp1)[:n]
     grid = v.reshape(h, w)
     return jnp.concatenate([grid, jnp.zeros((h, 1), jnp.float32)], axis=1)

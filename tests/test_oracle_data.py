@@ -108,3 +108,47 @@ def test_sgd_abc_match_oracle():
         # retro-reflection by ~C*B*ulp; 1e-2 relative is the f32 floor
         np.testing.assert_allclose(got, golden, rtol=1e-2, atol=1e-5,
                                    err_msg=f"abc {name}")
+
+
+def test_debug_log_parity_merl_below_horizon_and_utia_clamp(
+        tmp_path, caplog):
+    """DJB_LOG parity (dj_brdf.h:1016-1021, 1166-1169): with DEBUG
+    logging enabled, a MERL eval that hits negative (below-horizon)
+    table entries logs a count, and loading a UTIA file containing
+    negative samples logs the clamped count — silent otherwise."""
+    import logging
+
+    import jax
+
+    from dj_brdf_tpu.core.math import from_spherical
+
+    # MERL: a table with every entry negative -> every lookup warns
+    table = -np.ones((3, 90, 90, 180), np.float32)
+    i = from_spherical(jnp.asarray([0.3, 0.5]), jnp.asarray([0.1, 0.2]))
+    m = Merl(table=jnp.asarray(table))
+    with caplog.at_level(logging.DEBUG, logger="dj_brdf_tpu"):
+        jax.clear_caches()  # debug gating is trace-time
+        out = np.asarray(m.eval(i, o=i))
+        jax.effects_barrier()
+    assert (out == 0.0).all()
+    assert any("below-horizon" in r.message for r in caplog.records)
+
+    # UTIA: negative raw samples -> load-time clamp count
+    caplog.clear()
+    raw = np.full((3, 6, 48, 6, 48), -2.0)
+    path = str(tmp_path / "neg.bin")
+    save_utia(path, raw)
+    with caplog.at_level(logging.DEBUG, logger="dj_brdf_tpu"):
+        data = load_utia(path)
+    assert (data == 0.0).all()
+    assert any("clamped" in r.message for r in caplog.records)
+
+    # and silence at the default level (the NVERBOSE analogue)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="dj_brdf_tpu"):
+        jax.clear_caches()
+        np.asarray(m.eval(i, o=i))
+        jax.effects_barrier()
+        load_utia(path)
+    assert not caplog.records
+    jax.clear_caches()
