@@ -69,9 +69,12 @@ def main() -> None:
     from dj_brdf_tpu.ops.fused_fit import ggx_lsq_value_and_grad
 
     # 2^23 samples/step: at 2^22 the ~1 ms tunneled dispatch latency
-    # still dominates the ~0.75 ms kernel and under-reports by ~40%
+    # still dominates the ~0.75 ms kernel and under-reports by ~40%.
+    # 200 iters: at 50 the run is still dispatch-jitter-bound and
+    # under-reports the kernel ~2x (measured 3.8-4.1e9 at 50 vs a
+    # stable 8.1-8.3e9 at 200)
     n = int(os.environ.get("BENCH_N", 1 << 23))
-    iters = int(os.environ.get("BENCH_ITERS", 50))
+    iters = int(os.environ.get("BENCH_ITERS", 200))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -105,7 +108,7 @@ def main() -> None:
 
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         try:
-            _secondary_metrics(i, o, n, min(iters, 20))
+            _secondary_metrics(i, o, n, min(iters, 100))
         except Exception as e:  # never lose the headline JSON line
             print(f"# secondary metrics aborted: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -203,6 +206,88 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
         functools.partial(ggx_evalp_is_soa, caps=False)))
     _metric("beckmann_evalp_is_soa_per_s",
             lambda: fused_sample_rate(beckmann_evalp_is_soa))
+
+    # --- END-TO-END fit step: the *product* fitting path
+    # (fit.lsq.make_fused_value_and_grad -> fused Pallas adjoint +
+    # raw_to_pvec chain rule + adam update), not a bare kernel — the
+    # VERDICT r2 #1 integration. Target: within ~1.5x of the raw
+    # fused-kernel headline.
+    def fit_step_rate():
+        import optax
+
+        from dj_brdf_tpu.fit import lsq
+        from dj_brdf_tpu.ops import soa
+
+        pvec_true = jnp.asarray([0.25, 0.25, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
+                                jnp.float32)
+        tr, tg, tb = soa.ggx_evalp_soa(pvec_true, *soa.split_dirs(i, o))
+        target = jnp.stack([tr, tg, tb], -1)
+        vg, data = lsq.make_fused_value_and_grad(
+            i, o, target, use_pallas=jax.devices()[0].platform != "cpu")
+        opt = optax.adam(5e-2)
+        state = {"raw": lsq.raw_init()}
+        state["opt"] = opt.init(state["raw"])
+
+        @jax.jit
+        def step_fn(raw, opt_state, *data):
+            val, grads = vg(raw, *data)
+            updates, opt_state = opt.update(grads, opt_state)
+            raw = optax.apply_updates(raw, updates)
+            return raw, opt_state, val
+
+        def stp():
+            state["raw"], state["opt"], val = step_fn(
+                state["raw"], state["opt"], *data)
+            return val
+
+        dt = _timeit(stp, iters)
+        return n * iters / dt
+    _metric("fit_step_evals_per_s", fit_step_rate, target=1e9)
+
+    # --- batched multi-material fit step (fit/batch.py fused path:
+    # one kernel, direction blocks reused across materials)
+    def fit_batch_step_rate():
+        import optax
+
+        from dj_brdf_tpu.fit import lsq
+        from dj_brdf_tpu.ops import soa
+        from dj_brdf_tpu.ops.fused_fit import (
+            ggx_lsq_value_and_grad_batched, pad_to_block)
+
+        m = 16
+        nm = n // 8  # per-material sample count
+        comp = soa.split_dirs(i[:nm], o[:nm])
+        pvec_true = jnp.asarray([0.25, 0.25, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
+                                jnp.float32)
+        tr, tg, tb = soa.ggx_evalp_soa(pvec_true, *comp)
+        sc = jnp.linspace(0.5, 2.0, m, dtype=jnp.float32)[:, None]
+        tg3 = (tr * sc, tg * sc, tb * sc)
+        comp, tg3, n_valid = pad_to_block(comp, tg3)
+        data = (*comp, *tg3)
+
+        raw0 = jax.vmap(lambda _: lsq.raw_init())(jnp.arange(m))
+        opt = optax.adam(5e-2)
+        state = {"raw": raw0, "opt": opt.init(raw0)}
+
+        @jax.jit
+        def step_fn(raw, opt_state, *data):
+            pvecs, vjp = jax.vjp(jax.vmap(soa.raw_to_pvec), raw)
+            per_mat, gp = ggx_lsq_value_and_grad_batched(
+                pvecs, *data, n_valid=n_valid, mean_over_materials=True)
+            (graw,) = vjp(gp)
+            updates, opt_state = opt.update(graw, opt_state)
+            raw = optax.apply_updates(raw, updates)
+            return raw, opt_state, per_mat.sum()
+
+        def stp():
+            state["raw"], state["opt"], val = step_fn(
+                state["raw"], state["opt"], *data)
+            return val
+
+        it2 = max(1, iters // 2)
+        dt = _timeit(stp, it2)
+        return m * nm * it2 / dt
+    _metric("fit_batch_step_evals_per_s", fit_batch_step_rate, target=1e9)
 
     # --- path tracer (render/pathtrace.py; the reference delegates to
     # Mitsuba's integrator around its BSDF plugins)

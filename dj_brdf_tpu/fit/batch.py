@@ -112,29 +112,74 @@ def tabulate_merl_batch(tables, res: int = 90, shadow: bool = True,
 
 
 def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
-                  mesh=None, dist=GGX()):
+                  mesh=None, dist=GGX(), fused: str = "auto"):
     """Fit per-material (MicrofacetParams, Schlick) to ``targets``
     (M, N, 3). With a mesh, the material axis shards across devices
     (fully independent fits — zero communication; the mesh turns 100
-    sequential CPU fits into M/D per device)."""
+    sequential CPU fits into M/D per device).
+
+    ``fused="auto"`` routes GGX-family fits through the hand-written
+    adjoint (the batched fused Pallas kernel on an unsharded TPU —
+    direction blocks fetched once and reused across materials — or
+    the same adjoint in XLA elsewhere); "never" keeps the layered
+    autodiff path."""
+    from dj_brdf_tpu.ops import soa
+
     m = targets.shape[0]
     raw0 = jax.vmap(lambda _: lsq.raw_init())(jnp.arange(m))
-    loss_one = lsq.make_loss(dist)
-
-    def loss_batched(raw):
-        per_mat = jax.vmap(lambda r, t: loss_one(r, i, o, t))(raw, targets)
-        return jnp.mean(per_mat), per_mat
-
     opt = optax.adam(lr)
 
+    use_fused = fused == "auto" and lsq.fused_eligible(dist)
+    use_pallas = (use_fused and mesh is None
+                  and jax.default_backend() == "tpu")
+
+    if use_fused:
+        comp = soa.split_dirs(i, o)
+        tg3 = (targets[..., 0], targets[..., 1], targets[..., 2])  # (M, N)
+        n = comp[0].size
+        if use_pallas:
+            from dj_brdf_tpu.ops.fused_fit import pad_to_block
+            comp, tg3, n = pad_to_block(comp, tg3)
+        data = (*comp, *tg3)
+
+        def vg(raw, *data):
+            """Gradient of the mean-over-materials loss + per-material
+            losses (matches the layered loss_batched exactly)."""
+            pvecs, vjp = jax.vjp(jax.vmap(soa.raw_to_pvec), raw)
+            if use_pallas:
+                from dj_brdf_tpu.ops.fused_fit import \
+                    ggx_lsq_value_and_grad_batched
+                per_mat, gp = ggx_lsq_value_and_grad_batched(
+                    pvecs, *data, n_valid=n, mean_over_materials=True)
+            else:
+                sums, gsums = jax.vmap(
+                    lambda pv, tr, tg, tb: soa.ggx_lsq_fwdbwd_soa(
+                        pv, *data[:6], tr, tg, tb))(pvecs, *data[6:])
+                per_mat = sums / n
+                gp = gsums / (n * m)
+            (graw,) = vjp(gp)
+            return per_mat, graw
+    else:
+        loss_one = lsq.make_loss(dist)
+        data = (i, o, targets)
+
+        def vg(raw, i, o, targets):
+            def loss_batched(raw):
+                per_mat = jax.vmap(
+                    lambda r, t: loss_one(r, i, o, t))(raw, targets)
+                return jnp.mean(per_mat), per_mat
+
+            (_, per_mat), grads = jax.value_and_grad(
+                loss_batched, has_aux=True)(raw)
+            return per_mat, grads
+
     @jax.jit
-    def run(raw):
+    def run(raw, *data):
         opt_state = opt.init(raw)
 
         def step(carry, _):
             raw, opt_state = carry
-            (_, per_mat), grads = jax.value_and_grad(
-                loss_batched, has_aux=True)(raw)
+            per_mat, grads = vg(raw, *data)
             updates, opt_state = opt.update(grads, opt_state)
             raw = optax.apply_updates(raw, updates)
             return (raw, opt_state), per_mat
@@ -145,9 +190,16 @@ def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
 
     if mesh is not None:
         mat_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        targets = jax.device_put(targets, mat_sharding)
+        if use_fused:
+            # material-axis leaves shard; the shared direction set
+            # replicates
+            data = tuple(
+                jax.device_put(a, mat_sharding) if a.ndim > 1 else a
+                for a in data)
+        else:
+            data = (i, o, jax.device_put(targets, mat_sharding))
         raw0 = jax.device_put(raw0, mat_sharding)
 
-    raw, final_losses = run(raw0)
+    raw, final_losses = run(raw0, *data)
     params, fres = jax.vmap(lsq.raw_to_model)(raw)
     return params, fres, final_losses

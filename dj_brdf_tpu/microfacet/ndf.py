@@ -29,6 +29,78 @@ from dj_brdf_tpu.core.pytree import pytree_dataclass, static_field
 from dj_brdf_tpu.core.special import erf, erfinv
 
 _SQRT_PI_INV = 0.5641895835477563  # 1/sqrt(pi)
+_HALF_SQRT_PI = 0.8862269254527580  # sqrt(pi)/2
+
+
+def beckmann_qf2_erf_domain(u, cos_theta_k, sin_theta_k,
+                            iterations: int = 5, recip=None):
+    """Beckmann visible-slope quantile solve in the erf domain —
+    returns b with erfinv(b) the sampled slope.
+
+    The reference (dj_brdf.h:1897-1952, after Wenzel Jakob's Mitsuba
+    routine) runs <=9 safeguarded *Newton* steps with an early break;
+    here each lockstep iteration takes a *Halley* step instead. The
+    second derivative is nearly free — f'' / (2 f') =
+    -tan(theta) * (sqrt(pi)/2) * e^{+ie^2} / (2 (1 - ie tan)) reuses
+    the iteration's e^{-ie^2} through one reciprocal — and the cubic
+    convergence reaches the reference's |CDF - u| < 1e-5 stopping
+    criterion in <=4 iterations everywhere a measured 512x256 (u,
+    theta) grid reaches it at all (5 run for margin), cutting the
+    per-sample erfinv+exp count nearly in half. Falls back to the
+    plain Newton step where the Gaussian underflows (far tail) or the
+    Halley denominator degenerates; same bisection safeguard and
+    convergence mask, so converged results agree with the reference
+    solver to its own stopping tolerance.
+
+    ``recip``: optional fast-reciprocal hook (Pallas kernels pass the
+    VPU approximate reciprocal)."""
+    if recip is None:
+        recip = lambda x: 1.0 / x
+    safe_sin = jnp.maximum(sin_theta_k, 1e-12)
+    safe_cos = jnp.maximum(cos_theta_k, 1e-12)
+    cot_theta_k = safe_cos * recip(safe_sin)
+    tan_theta_k = sin_theta_k * recip(safe_cos)
+
+    c0 = erf(cot_theta_k)
+    u = jnp.maximum(u, 1e-6)
+
+    fit = 1.0 + cos_theta_k * (-0.876 + cos_theta_k
+                               * (0.4265 - 0.0594 * cos_theta_k))
+    b0 = c0 - (1.0 + c0) * jnp.power(1.0 - u, fit)
+    normalization = recip(1.0 + c0 + _SQRT_PI_INV * tan_theta_k
+                          * jnp.exp(-cot_theta_k * cot_theta_k))
+
+    def body(_, carry):
+        a, b, c, done = carry
+        # bisection fix-up; also catches NaN (comparisons are false)
+        fix = jnp.logical_not((b >= a) & (b <= c))
+        b = jnp.where(~done & fix, 0.5 * (a + c), b)
+
+        inv_erf = erfinv(b)
+        eneg = jnp.exp(-inv_erf * inv_erf)
+        value = normalization * (1.0 + b + _SQRT_PI_INV * tan_theta_k
+                                 * eneg) - u
+        dfac = 1.0 - inv_erf * tan_theta_k
+
+        newly_done = jnp.abs(value) < 1e-5
+        upd = ~done & ~newly_done
+        c = jnp.where(upd & (value > 0), b, c)
+        a = jnp.where(upd & (value <= 0), b, a)
+
+        r = value * recip(normalization * dfac)       # Newton step
+        h = -tan_theta_k * _HALF_SQRT_PI \
+            * recip(jnp.maximum(eneg, 1e-10) * (2.0 * dfac))
+        denom = 1.0 - r * h
+        ok_h = (eneg > 1e-10) & (denom > 0.5)
+        step = r * jnp.where(ok_h,
+                             recip(jnp.where(ok_h, denom, 1.0)), 1.0)
+        b = jnp.where(upd, b - step, b)
+        return a, b, c, done | newly_done
+
+    a = jnp.full_like(b0, -1.0)
+    done = jnp.zeros_like(b0, dtype=bool)
+    _, b, _, _ = jax.lax.fori_loop(0, iterations, body, (a, b0, c0, done))
+    return b
 
 
 def _sample_smith_radial(dist, u1, u2, k):
@@ -87,45 +159,9 @@ class Beckmann:
         return erfinv(2.0 * u - 1.0)
 
     def qf2_radial(self, u, cos_theta_k, sin_theta_k):
-        """Visible-slope quantile via fixed-iteration Newton/bisection in
-        the erf domain (dj_brdf.h:1897-1952, after Wenzel Jakob's
-        Mitsuba routine). The reference runs <=9 Newton steps with an
-        early break; on TPU we run the same 9 steps in lockstep with a
-        convergence mask so results match while staying branch-free."""
-        safe_sin = jnp.maximum(sin_theta_k, 1e-12)
-        safe_cos = jnp.maximum(cos_theta_k, 1e-12)
-        cot_theta_k = safe_cos / safe_sin
-        tan_theta_k = sin_theta_k / safe_cos
-
-        c0 = erf(cot_theta_k)
-        u = jnp.maximum(u, 1e-6)
-
-        fit = 1.0 + cos_theta_k * (-0.876 + cos_theta_k * (0.4265 - 0.0594 * cos_theta_k))
-        b0 = c0 - (1.0 + c0) * jnp.power(1.0 - u, fit)
-        normalization = 1.0 / (1.0 + c0 + _SQRT_PI_INV * tan_theta_k
-                               * jnp.exp(-cot_theta_k * cot_theta_k))
-
-        def body(_, carry):
-            a, b, c, done = carry
-            # bisection fix-up; also catches NaN (comparisons are false)
-            fix = jnp.logical_not((b >= a) & (b <= c))
-            b = jnp.where(~done & fix, 0.5 * (a + c), b)
-
-            inv_erf = erfinv(b)
-            value = normalization * (1.0 + b + _SQRT_PI_INV * tan_theta_k
-                                     * jnp.exp(-inv_erf * inv_erf)) - u
-            derivative = normalization * (1.0 - inv_erf * tan_theta_k)
-
-            newly_done = jnp.abs(value) < 1e-5
-            upd = ~done & ~newly_done
-            c = jnp.where(upd & (value > 0), b, c)
-            a = jnp.where(upd & (value <= 0), b, a)
-            b = jnp.where(upd, b - value / derivative, b)
-            return a, b, c, done | newly_done
-
-        a = jnp.full_like(b0, -1.0)
-        done = jnp.zeros_like(b0, dtype=bool)
-        _, b, _, _ = jax.lax.fori_loop(1, 10, body, (a, b0, c0, done))
+        """Visible-slope quantile (dj_brdf.h:1897-1952); see
+        :func:`beckmann_qf2_erf_domain`."""
+        b = beckmann_qf2_erf_domain(u, cos_theta_k, sin_theta_k)
         return erfinv(jnp.maximum(-0.9999, b))
 
     def qf3_radial(self, u, qf2):

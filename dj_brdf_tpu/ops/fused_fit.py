@@ -113,18 +113,91 @@ def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
     return total[0] / n_eff, total[1:9] / n_eff
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("block_rows", "interpret", "n_valid",
+                                    "mean_over_materials"))
+def ggx_lsq_value_and_grad_batched(pvecs, ix, iy, iz, ox, oy, oz,
+                                   tr, tg, tb, block_rows: int = 256,
+                                   interpret: bool = False,
+                                   n_valid: int | None = None,
+                                   mean_over_materials: bool = False):
+    """Batched (per-material) fused fit step: one kernel launch fits M
+    materials against a SHARED direction set — the device form of the
+    reference's per-file loop (examples/merl_params.cpp:53-68).
+
+    ``pvecs``: (M, 8) constrained parameter rows. Directions ix..oz:
+    flat (N,) shared across materials; targets tr/tg/tb: (M, N) per
+    material. N must be a multiple of 128*block_rows (pad with
+    :func:`pad_to_block`, passing the true count as ``n_valid``).
+
+    Grid is (N-blocks, M) with the material loop innermost, so each
+    direction block is fetched into VMEM once and reused for all M
+    materials — target traffic (12 B/sample/material) is the only
+    per-material HBM cost. Returns ``(loss (M,), grad (M, 8))``; with
+    ``mean_over_materials`` the grads are additionally divided by M
+    (the gradient of the mean loss, what a joint optimizer wants)."""
+    m = pvecs.shape[0]
+    n = ix.size
+    rows = n // LANES
+    assert rows * LANES == n and rows % block_rows == 0, (n, block_rows)
+    grid_n = rows // block_rows
+
+    def reshape(a):
+        return a.reshape(rows, LANES)
+
+    dirs = [reshape(a) for a in (ix, iy, iz, ox, oy, oz)]
+    tgts = [t.reshape(m * rows, LANES) for t in (tr, tg, tb)]
+    # one (8, LANES)-aligned tile per material, params in row 0
+    # (TPU block shapes must be (8k, 128k) unless equal to the array)
+    pvec_pad = jnp.zeros((m * 8, LANES), jnp.float32) \
+        .at[::8, :8].set(pvecs)
+
+    in_specs = [pl.BlockSpec((8, LANES), lambda g, k: (k, 0),
+                             memory_space=pltpu.VMEM)]
+    # direction blocks depend only on g: constant over the inner
+    # material loop, so pallas keeps them resident in VMEM
+    in_specs += [pl.BlockSpec((block_rows, LANES), lambda g, k: (g, 0),
+                              memory_space=pltpu.VMEM)] * 6
+    in_specs += [pl.BlockSpec(
+        (block_rows, LANES),
+        lambda g, k, _g=grid_n: (k * _g + g, 0),
+        memory_space=pltpu.VMEM)] * 3
+
+    partials = pl.pallas_call(
+        _kernel_hand,
+        grid=(grid_n, m),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, LANES),
+                               lambda g, k, _m=m: (g * _m + k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * m * 8, LANES), jnp.float32),
+        interpret=interpret,
+    )(pvec_pad, *dirs, *tgts)
+
+    rows0 = partials.reshape(grid_n, m, 8, LANES)[:, :, 0, :].sum(axis=0)
+    n_eff = jnp.float32(n if n_valid is None else n_valid)
+    loss = rows0[:, 0] / n_eff
+    grad = rows0[:, 1:9] / n_eff
+    if mean_over_materials:
+        grad = grad / jnp.float32(m)
+    return loss, grad
+
+
 def pad_to_block(arrays, targets, block_rows: int = 256):
     """Pad sample arrays to a multiple of 128*block_rows with samples
     whose target and prediction are forced to 0 (o below horizon), so
     they contribute nothing to loss or grad; returns arrays + the
-    original count for correct mean normalization."""
+    original count for correct mean normalization. Targets may carry
+    leading batch axes (e.g. a material axis); padding is on the last
+    (sample) axis."""
     n = arrays[0].size
     unit = LANES * block_rows
     n_pad = (-n) % unit
     if n_pad == 0:
         return arrays, targets, n
     def pad(a, fill):
-        return jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+        return jnp.concatenate(
+            [a, jnp.full(a.shape[:-1] + (n_pad,), fill, a.dtype)], axis=-1)
     # o = (0,0,-1): below horizon -> evalp = 0; target 0 -> loss term 0
     ix, iy, iz, ox, oy, oz = arrays
     arrays = (pad(ix, 0.0), pad(iy, 0.0), pad(iz, 1.0),

@@ -255,8 +255,8 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
     (reference dj_beckmannconductor.cpp:371 -> microfacet::evalp_is
     dj_brdf.h:1734-1765 with beckmann::qf2 1897-1952). Same contract
     as :func:`ggx_evalp_is_soa`; Beckmann differs in the visible-slope
-    solver (9-step Newton/bisection in the erf domain, in lockstep
-    with a convergence mask) and the erf-based sigma_std."""
+    solver (lockstep safeguarded Halley in the erf domain,
+    ndf.beckmann_qf2_erf_domain) and the erf-based sigma_std."""
     from dj_brdf_tpu.core.special import erf, erfinv
 
     if recip is None:
@@ -293,37 +293,11 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
     valid = kz > 0.0
     sig_o = sigma_beck(kz, q_o * inrm_o)
 
-    # --- visible-slope Newton solver in the rotated radial frame
+    # --- visible-slope Halley solver in the rotated radial frame
+    # (shared with the layered path: ndf.beckmann_qf2_erf_domain)
+    from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_erf_domain
     sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
-    safe_sin = jnp.maximum(sin_k, 1e-12)
-    safe_cos = jnp.maximum(kz, 1e-12)
-    cot_k = safe_cos * recip(safe_sin)
-    tan_k = sin_k * recip(safe_cos)
-    c0 = erf(cot_k)
-    uu = jnp.maximum(u1, 1e-6)
-    fit = 1.0 + kz * (-0.876 + kz * (0.4265 - 0.0594 * kz))
-    b0 = c0 - (1.0 + c0) * jnp.power(1.0 - uu, fit)
-    normalization = recip(1.0 + c0 + sqrt_pi_inv * tan_k
-                          * jnp.exp(-cot_k * cot_k))
-
-    def body(_, carry):
-        a, b, c, done = carry
-        fix = jnp.logical_not((b >= a) & (b <= c))
-        b = jnp.where(~done & fix, 0.5 * (a + c), b)
-        inv_erf = erfinv(b)
-        value = normalization * (1.0 + b + sqrt_pi_inv * tan_k
-                                 * jnp.exp(-inv_erf * inv_erf)) - uu
-        derivative = normalization * (1.0 - inv_erf * tan_k)
-        newly_done = jnp.abs(value) < 1e-5
-        upd = ~done & ~newly_done
-        c = jnp.where(upd & (value > 0), b, c)
-        a = jnp.where(upd & (value <= 0), b, a)
-        b = jnp.where(upd, b - value * recip(derivative), b)
-        return a, b, c, done | newly_done
-
-    a0 = jnp.full_like(b0, -1.0)
-    done0 = jnp.zeros_like(b0, dtype=bool)
-    _, bb, _, _ = jax.lax.fori_loop(1, 10, body, (a0, b0, c0, done0))
+    bb = beckmann_qf2_erf_domain(u1, kz, sin_k, recip=recip)
     tx = erfinv(jnp.maximum(-0.9999, bb))
     ty = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
 
