@@ -291,12 +291,12 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
 
     # --- path tracer (render/pathtrace.py; the reference delegates to
     # Mitsuba's integrator around its BSDF plugins)
-    def pathtrace_rate():
+    def pathtrace_rate(floor_dist):
         from dj_brdf_tpu.render import materials, pathtrace
         sphere = materials.MicrofacetMaterial(dist=GGX(), fres=fres,
                                               params=params)
         floor = materials.MicrofacetMaterial(
-            dist=Beckmann(),
+            dist=floor_dist,
             fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
             params=MicrofacetParams.isotropic(0.5))
         light = jnp.asarray([0.3, 0.4, 0.8], jnp.float32)
@@ -310,7 +310,14 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
             return img.sum()
         dt = _timeit(stp, max(1, iters // 4))
         return res * res * spp * max(1, iters // 4) / dt
-    _metric("pathtrace_samples_per_s", pathtrace_rate, unit="samples/s")
+    # mixed-family scene (GGX sphere / Beckmann floor, the matpreview
+    # analogue): one dual-family SoA kernel per bounce, bounded by the
+    # Beckmann lanes' transcendental count
+    _metric("pathtrace_samples_per_s", lambda: pathtrace_rate(Beckmann()),
+            unit="samples/s")
+    # same-family scene: per-ray pvec select, single kernel per bounce
+    _metric("pathtrace_ggx_samples_per_s", lambda: pathtrace_rate(GGX()),
+            unit="samples/s")
 
     # --- power-iteration matvec at the production aniso kernel size
     # (8010^2, dj_brdf.h:2525-2579), on-device f32

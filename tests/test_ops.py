@@ -264,3 +264,79 @@ def test_fit_materials_fused_matches_layered(rng):
                                atol=5e-3)
     # and both recover the truth
     np.testing.assert_allclose(np.asarray(pf.ax), alphas, rtol=0.1)
+
+
+def test_beckmann_evalp_soa_matches_general_path(rng):
+    from dj_brdf_tpu.microfacet.ndf import Beckmann
+
+    i, o = make_batch(rng, 4096)
+    pvec = jnp.asarray([0.45, 0.2, 0.3, 0.1, -0.05, 0.9, 0.6, 0.3],
+                       jnp.float32)
+    params = MicrofacetParams.pdfparams(*[pvec[k] for k in range(5)])
+    fres = fresnel.Schlick(f0=pvec[5:8])
+    want = np.asarray(mf.evalp(Beckmann(), fres, params, i, o))
+    r, g, b = soa.beckmann_evalp_soa(pvec, *soa.split_dirs(i, o))
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-5)
+
+    # per-sample (8, N) parameter rows broadcast identically
+    pvN = jnp.broadcast_to(pvec[:, None], (8, i.shape[0]))
+    rN, gN, bN = soa.beckmann_evalp_soa(pvN, *soa.split_dirs(i, o))
+    np.testing.assert_allclose(np.asarray(rN), np.asarray(r), rtol=1e-6)
+
+
+def test_ggx_evalp_is_soa_per_sample_pvec(rng):
+    """(8, N) pvec rows (per-ray material parameters — the path
+    tracer's same-family select) == scalar pvec per slice."""
+    n = 512
+    o = from_spherical(jnp.asarray(rng.uniform(0.1, 1.4, n), jnp.float32),
+                       jnp.asarray(rng.uniform(0, 6.28, n), jnp.float32))
+    u1 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    pv0 = jnp.asarray([0.3, 0.15, 0.2, 0.0, 0.0, 0.9, 0.6, 0.3], jnp.float32)
+    pv1 = jnp.asarray([0.6, 0.6, 0.0, 0.0, 0.0, 0.3, 0.3, 0.3], jnp.float32)
+    sel = jnp.asarray(rng.uniform(0, 1, n) < 0.5)
+    pvN = jnp.where(sel[None, :], pv0[:, None], pv1[:, None])
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    got = soa.ggx_evalp_is_soa(pvN, u1, u2, ox, oy, oz)
+    want0 = soa.ggx_evalp_is_soa(pv0, u1, u2, ox, oy, oz)
+    want1 = soa.ggx_evalp_is_soa(pv1, u1, u2, ox, oy, oz)
+    for gN, w0, w1 in zip(got, want0, want1):
+        np.testing.assert_allclose(np.asarray(gN),
+                                   np.where(np.asarray(sel), np.asarray(w0),
+                                            np.asarray(w1)), rtol=1e-6)
+
+
+def test_mixed_dual_kernel_matches_single_family(rng):
+    """soa.mixed_nee_evalp_is_soa == per-lane select of the two
+    single-family kernels (NEE evalp + evalp_is + pdf), for GGX
+    lanes via the reference-qf sampler."""
+    n = 8192
+    o = from_spherical(jnp.asarray(rng.uniform(0.05, 1.5, n), jnp.float32),
+                       jnp.asarray(rng.uniform(0, 6.28, n), jnp.float32))
+    l = from_spherical(jnp.asarray(rng.uniform(0.05, 1.5, n), jnp.float32),
+                       jnp.asarray(rng.uniform(0, 6.28, n), jnp.float32))
+    u1 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    pv0 = jnp.asarray([0.3, 0.15, 0.2, 0.02, -0.04, 0.9, 0.6, 0.3],
+                      jnp.float32)
+    pv1 = jnp.asarray([0.6, 0.5, 0.0, 0.0, 0.0, 0.3, 0.3, 0.3], jnp.float32)
+    is_beck = jnp.asarray(rng.uniform(0, 1, n) < 0.5)
+    pv = jnp.where(is_beck[None, :], pv0[:, None], pv1[:, None])
+
+    lx, ly, lz = l[..., 0], l[..., 1], l[..., 2]
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    got = soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz, u1, u2,
+                                     ox, oy, oz)
+
+    fb3 = soa.beckmann_evalp_soa(pv0, lx, ly, lz, ox, oy, oz)
+    ob = soa.beckmann_evalp_is_soa(pv0, u1, u2, ox, oy, oz)
+    fg3 = soa.ggx_evalp_soa(pv1, lx, ly, lz, ox, oy, oz)
+    og = soa.ggx_evalp_is_soa(pv1, u1, u2, ox, oy, oz, caps=False)
+    want = tuple(jnp.where(is_beck, a, b)
+                 for a, b in zip(fb3 + ob, fg3 + og))
+    for k, (g, w) in enumerate(zip(got, want)):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=5e-4, atol=5e-5)
+        assert close.mean() > 0.9995, (k, 1 - close.mean())
+        assert np.abs(g - w).max() < 5e-3, k
