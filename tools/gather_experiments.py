@@ -109,24 +109,26 @@ def main():
 
     def k4(tab_ref, idx_ref, out_ref):
         tab = tab_ref[:].reshape(-1)
-        out_ref[:] = jnp.take(tab, idx_ref[:], axis=0)
+        out_ref[:] = jnp.take(tab, idx_ref[:].reshape(-1),
+                              axis=0).reshape(out_ref.shape)
 
     try:
         @jax.jit
         def v4(idx):
-            idx2 = idx.reshape(-1, BLK)
+            idx2 = idx.reshape(-1, BLK // 8)   # (8, 128k)-aligned blocks
             return pl.pallas_call(
                 k4,
                 grid=(N // BLK,),
                 in_specs=[
                     pl.BlockSpec((plane2d.shape[0], 128), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                    pl.BlockSpec((8, BLK // 8), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, BLK), lambda g: (g, 0),
+                out_specs=pl.BlockSpec((8, BLK // 8), lambda g: (g, 0),
                                        memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((N // BLK, BLK), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((N // BLK * 8, BLK // 8),
+                                               jnp.float32),
             )(plane2d, idx2)
 
         timed("v4 pallas VMEM-plane jnp.take", v4, idx)
@@ -142,22 +144,21 @@ def main():
     try:
         @jax.jit
         def v5(idx):
-            row = (idx // 128).reshape(-1, BLK)
-            lane = (idx % 128).reshape(-1, BLK)
+            row = (idx // 128).reshape(-1, BLK // 8)
+            lane = (idx % 128).reshape(-1, BLK // 8)
+            spec = pl.BlockSpec((8, BLK // 8), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 k5,
                 grid=(N // BLK,),
                 in_specs=[
                     pl.BlockSpec((plane2d.shape[0], 128), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, BLK), lambda g: (g, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, BLK), lambda g: (g, 0),
-                                 memory_space=pltpu.VMEM),
+                    spec, spec,
                 ],
-                out_specs=pl.BlockSpec((1, BLK), lambda g: (g, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((N // BLK, BLK), jnp.float32),
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((N // BLK * 8, BLK // 8),
+                                               jnp.float32),
             )(plane2d, row, lane)
 
         timed("v5 pallas row-take + take_along", v5, idx)
@@ -180,6 +181,48 @@ def main():
         return jnp.sort(idx)
 
     timed("v7 sort alone", v7, idx)
+
+    # V8: END-TO-END sorted 3-channel row gather: argsort + coherent
+    # (N, 3) row take at sorted indices + inverse-permutation scatter
+    # (the composition VERDICT r2 asked to measure)
+    @jax.jit
+    def v8(idx):
+        order = jnp.argsort(idx)
+        rows = jnp.take(inter, idx[order], axis=0)      # coherent (N,3)
+        return jnp.zeros_like(rows).at[order].set(rows)
+
+    timed("v8 sorted (N,3) take + unsort", v8, idx)
+
+    # V9: same but inverse permutation via a second gather instead of
+    # a scatter (scatters are often slower than gathers on TPU)
+    @jax.jit
+    def v9(idx):
+        order = jnp.argsort(idx)
+        rows = jnp.take(inter, idx[order], axis=0)
+        inv = jnp.argsort(order)
+        return jnp.take(rows, inv, axis=0)
+
+    timed("v9 sorted take + gather-unsort", v9, idx)
+
+    # V10: one-hot matmul via the MXU: rows from an (N, NROWS) one-hot
+    # against the (NROWS, 540) table — trades the gather-issue limit
+    # for N*NROWS*540 MACs; measured for the record (N/64)
+    N10 = N // 64
+    @jax.jit
+    def v10(idx):
+        r = idx // R_P
+        p = idx % R_P
+        oh = jax.nn.one_hot(r, NROWS, dtype=jnp.bfloat16)  # (N10, 8100)
+        g = (oh @ rows3.astype(jnp.bfloat16)).astype(jnp.float32)
+        g = g.reshape(N10, R_P, 3)
+        ohp = (jax.lax.broadcasted_iota(jnp.int32, (N10, R_P), 1)
+               == p[:, None]).astype(jnp.float32)
+        return jnp.einsum("npc,np->nc", g, ohp)
+
+    try:
+        timed("v10 MXU one-hot matmul (N/64)", v10, idx[:N10], per=N10)
+    except Exception as e:
+        print(f"v10 FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":
