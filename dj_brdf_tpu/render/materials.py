@@ -71,9 +71,10 @@ class MicrofacetMaterial:
         """Sample + weight. Uniform GGX/Beckmann + Schlick materials
         route through the fused SoA kernels (ops/soa.py), which skip
         the layered path's repeated warps; other shapes fall back to
-        the general path. (Fused edge-case difference: receivers below
-        the mean-normal horizon get weight = pdf = 0 instead of an
-        arbitrary up-sample's values.)"""
+        the general path. Both paths zero weight and pdf for receivers
+        below the mean-normal horizon (where the reference emits an
+        arbitrary "up" sample, dj_brdf.h:1677-1678), so a material
+        renders identically whichever path dispatches it."""
         pvec = self._fused_pvec()
         if pvec is not None:
             from dj_brdf_tpu.microfacet.ndf import (Beckmann as _Beck,
@@ -88,7 +89,14 @@ class MicrofacetMaterial:
             wr, wg, wb, ix, iy, iz, pdf = out
             return (jnp.stack([wr, wg, wb], -1),
                     jnp.stack([ix, iy, iz], -1), pdf)
-        return mf.evalp_is(self.dist, self.fres, self.params, u1, u2, o)
+        w, i, pdf = mf.evalp_is(self.dist, self.fres, self.params, u1, u2, o)
+        # align the fallback with the fused kernels at the edge lanes
+        # (ADVICE r2): warped-receiver horizon check c(o) <= 0
+        p = self.params
+        c_o = o[..., 2] - o[..., 0] * p.txn - o[..., 1] * p.tyn
+        bad = c_o <= 0.0
+        return (jnp.where(bad[..., None], 0.0, w), i,
+                jnp.where(bad, 0.0, pdf))
 
 
 @pytree_dataclass

@@ -154,3 +154,44 @@ def test_microfacet_material_fused_dispatch():
     # non-Schlick fresnel -> fallback
     mi = MicrofacetMaterial(dist=GGX(), fres=fresnel.Ideal(), params=params)
     assert mi._fused_pvec() is None
+
+
+def test_fallback_matches_fused_at_horizon_edge():
+    """A material renders bit-consistently whichever evalp_is path
+    dispatches it (ADVICE r2): below-mean-normal-horizon receivers get
+    weight = pdf = 0 on BOTH the fused and the layered fallback path
+    (the reference's arbitrary up-sample, dj_brdf.h:1677-1678, is
+    suppressed identically)."""
+    import numpy as np
+    from dj_brdf_tpu.microfacet.ndf import GGX
+
+    n = 64
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n,))
+    # strong mean-normal offset: receivers near grazing fall below the
+    # warped horizon c(o) = o.z - o.x txn - o.y tyn <= 0
+    params = MicrofacetParams.pdfparams(0.3, 0.3, 0.0, txn=2.0, tyn=0.0)
+    fres = fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32))
+    o = jnp.broadcast_to(jnp.asarray([0.9, 0.0, 0.2]), (n, 3))
+    o = o / jnp.linalg.norm(o[0])
+
+    fused = MicrofacetMaterial(dist=GGX(), fres=fres, params=params)
+    assert fused._fused_pvec() is not None
+    w_f, _, p_f = fused.evalp_is(u1, u2, o)
+
+    # same material, forced down the fallback path via a per-pixel
+    # (but constant) roughness texture
+    tex_params = MicrofacetParams(
+        ax=jnp.full((n,), float(params.ax)), ay=params.ay, rho=params.rho,
+        txn=params.txn, tyn=params.tyn)
+    fallback = MicrofacetMaterial(dist=GGX(), fres=fres, params=tex_params)
+    assert fallback._fused_pvec() is None
+    w_l, _, p_l = fallback.evalp_is(u1, u2, o)
+
+    # this receiver is below the warped horizon: both paths zero out
+    assert float(jnp.abs(w_f).max()) == 0.0
+    assert float(jnp.abs(p_f).max()) == 0.0
+    assert float(jnp.abs(w_l).max()) == 0.0
+    assert float(jnp.abs(p_l).max()) == 0.0
