@@ -285,3 +285,29 @@ def test_path_tracer_fused_dispatch_matches_generic(monkeypatch):
                                    np.asarray(img_generic),
                                    rtol=2e-3, atol=2e-4)
     jax.clear_caches()
+
+
+def test_path_tracer_soa_path_gradients():
+    """The SoA fused render loop (incl. the dual-family kernel and the
+    Halley fori_loop) is differentiable w.r.t. material parameters —
+    finite, nonzero pixel gradients on both scene shapes."""
+    from dj_brdf_tpu.render import materials, pathtrace
+
+    def make_img(f0, floor_dist):
+        sphere = materials.MicrofacetMaterial(
+            dist=GGX(), fres=fresnel.Schlick(f0=f0),
+            params=MicrofacetParams.elliptic(0.3, 0.15, 0.4))
+        floor = materials.MicrofacetMaterial(
+            dist=floor_dist,
+            fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+            params=MicrofacetParams.isotropic(0.5))
+        return pathtrace.render(sphere, floor, (0.4, 0.5, 0.75),
+                                (3.0, 3.0, 3.0), (0.3, 0.4, 0.5),
+                                res=24, spp=2, max_bounces=2)
+
+    f0 = jnp.asarray([0.9, 0.6, 0.3], jnp.float32)
+    for floor_dist in (Beckmann(), GGX()):
+        g = jax.grad(lambda f: make_img(f, floor_dist).mean())(f0)
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0
