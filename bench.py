@@ -371,10 +371,14 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
             def eval_fn(di, do):
                 return mf.eval(dist0, fres0, p0, di, do)
 
-            t0 = time.perf_counter()
-            dist, _ = build_tabular_anisotropic(eval_fn, 90, 90)
-            float(dist.p22.sum())  # sync
-            return time.perf_counter() - t0
+            def run():
+                t0 = time.perf_counter()
+                dist, _ = build_tabular_anisotropic(eval_fn, 90, 90)
+                float(dist.p22.sum())  # sync
+                return time.perf_counter() - t0
+
+            run()  # warm the (persistent-cached) compiles
+            return min(run(), run())
         _metric("aniso_fit90_wall_seconds", aniso_wall, unit="s")
 
 

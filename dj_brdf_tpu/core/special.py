@@ -28,7 +28,10 @@ def erf(x):
     sign = jnp.sign(x)
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + p * ax)
-    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    # exp(-x*x) rather than exp(-ax*ax): bitwise identical, but the
+    # expression now CSEs with callers that also need the Gaussian of
+    # the same argument (e.g. Beckmann sigma_std, the qf2 CDF)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-x * x)
     return sign * y
 
 
