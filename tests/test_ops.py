@@ -340,3 +340,43 @@ def test_mixed_dual_kernel_matches_single_family(rng):
         close = np.isclose(g, w, rtol=5e-4, atol=5e-5)
         assert close.mean() > 0.9995, (k, 1 - close.mean())
         assert np.abs(g - w).max() < 5e-3, k
+
+
+def test_fused_weights_energy_bound(rng):
+    """Physics invariant on every fused sampler: for CENTERED
+    distributions (zero mean-normal offset — with offsets sigma(k) can
+    drop below k.z and G1 legitimately exceeds 1, in the reference
+    too) the IS weight F*G/G1(o) lies in [0, 1] per channel when
+    F <= 1 (G <= G1o, dj_brdf.h:1644-1665), for uniform and per-ray
+    parameter rows, across all four kernels."""
+    n = 1 << 15
+    o = from_spherical(jnp.asarray(rng.uniform(0.02, 1.55, n), jnp.float32),
+                       jnp.asarray(rng.uniform(0, 6.28, n), jnp.float32))
+    u1 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    pv0 = jnp.asarray([0.8, 0.05, 0.6, 0.0, 0.0, 1.0, 1.0, 1.0], jnp.float32)
+    pv1 = jnp.asarray([0.02, 0.9, -0.8, 0.0, 0.0, 1.0, 1.0, 1.0], jnp.float32)
+    sel = jnp.asarray(rng.uniform(0, 1, n) < 0.5)
+    pvN = jnp.where(sel[None, :], pv0[:, None], pv1[:, None])
+
+    outs = [
+        soa.ggx_evalp_is_soa(pvN, u1, u2, ox, oy, oz, caps=True),
+        soa.ggx_evalp_is_soa(pvN, u1, u2, ox, oy, oz, caps=False),
+        soa.beckmann_evalp_is_soa(pvN, u1, u2, ox, oy, oz),
+        soa.mixed_nee_evalp_is_soa(pvN, sel, ox, oy, oz, u1, u2,
+                                   ox, oy, oz)[3:],
+    ]
+    for out in outs:
+        wr, wg, wb, ix, iy, iz, pdf = out
+        for w in (wr, wg, wb):
+            w = np.asarray(w)
+            assert np.isfinite(w).all()
+            assert w.min() >= 0.0
+            assert w.max() <= 1.0 + 1e-4
+        assert np.isfinite(np.asarray(pdf)).all()
+        assert float(np.asarray(pdf).min()) >= 0.0
+        # sampled directions are unit where pdf > 0
+        m = np.asarray(pdf) > 0
+        nrm = np.asarray(ix * ix + iy * iy + iz * iz)[m]
+        np.testing.assert_allclose(nrm, 1.0, atol=1e-3)
