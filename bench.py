@@ -5,7 +5,7 @@ the 1e9 evals/s/chip north-star target (BASELINE.md).
 
 Secondary metrics (stderr `# name: value`): measured-table eval
 throughput (MERL dj_brdf.h:987-1024, UTIA 1063-1157), VNDF sampling
-hot loops (Beckmann Newton qf2 dj_brdf.h:1897-1952, GGX closed form
+hot loops (Beckmann Halley qf2 dj_brdf.h:1897-1952, GGX closed form
 2089-2146, spherical-caps variant), path-tracer pixel rate, and the
 anisotropic power-iteration matvec (dj_brdf.h:2467-2480 at the
 production 90x90 kernel size).

@@ -143,8 +143,8 @@ def test_fused_evalp_is_matches_layered(rng):
 
 def test_fused_beckmann_evalp_is_matches_layered(rng):
     """ops/soa.py::beckmann_evalp_is_soa == layered mf.evalp_is with
-    the 9-step Newton qf2 (dj_brdf.h:1897-1952). A handful of samples
-    sit exactly on the Newton convergence boundary where a 1-ulp input
+    the Halley qf2 solve (dj_brdf.h:1897-1952). A handful of samples
+    sit exactly on the convergence boundary where a 1-ulp input
     difference (rsqrt vs sqrt normalize) changes the iteration path,
     so assert distribution-level agreement: >99.99% of lanes pointwise
     close, the rest bounded."""
@@ -380,3 +380,28 @@ def test_fused_weights_energy_bound(rng):
         m = np.asarray(pdf) > 0
         nrm = np.asarray(ix * ix + iy * iy + iz * iz)[m]
         np.testing.assert_allclose(nrm, 1.0, atol=1e-3)
+
+
+def test_fit_lsq_sharded_matches_unsharded(rng):
+    """fit_lsq with a data-axis sharding (fused XLA-adjoint path,
+    gradient psum inserted by pjit) == the unsharded fit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dj_brdf_tpu.fit import lsq
+    from dj_brdf_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    n = 2048
+    i, o = make_batch(rng, n)
+    target = mf.evalp(
+        GGX(), fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32)),
+        MicrofacetParams.isotropic(0.3), i, o)
+
+    p0, f0, l0 = lsq.fit_lsq(GGX(), i, o, target, steps=80)
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    p1, f1, l1 = lsq.fit_lsq(GGX(), i, o, target, steps=80, in_shardings=sh)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(float(p1.ax), float(p0.ax), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(f1.f0), np.asarray(f0.f0),
+                               atol=1e-3)
