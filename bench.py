@@ -17,7 +17,7 @@ meaningless without a final sync through the result value.
 
 Run on the real TPU: `python bench.py`. Optional env:
   BENCH_N        batch size per step   (default 2^23)
-  BENCH_ITERS    timed iterations      (default 50)
+  BENCH_ITERS    timed iterations      (default 200)
   BENCH_SECONDARY=0   skip secondary metrics
   BENCH_ANISO=0       skip the 90x90 anisotropic fit timing
 """

@@ -405,3 +405,30 @@ def test_fit_lsq_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(float(p1.ax), float(p0.ax), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(f1.f0), np.asarray(f0.f0),
                                atol=1e-3)
+
+
+def test_make_fused_value_and_grad_pallas_interpret(rng):
+    """fit.lsq.make_fused_value_and_grad's Pallas branch (what an
+    unsharded TPU fit runs), in interpret mode, == the XLA-adjoint
+    branch, at an odd sample count (exercises padding + n_valid)."""
+    from dj_brdf_tpu.fit import lsq
+
+    n = 5000  # not a multiple of 128*256
+    i, o = make_batch(rng, n)
+    target = mf.evalp(
+        GGX(), fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32)),
+        MicrofacetParams.isotropic(0.3), i, o)
+    raw = lsq.raw_init()
+
+    vg_p, data_p = lsq.make_fused_value_and_grad(i, o, target,
+                                                 use_pallas=False,
+                                                 interpret=True)
+    vg_x, data_x = lsq.make_fused_value_and_grad(i, o, target,
+                                                 use_pallas=False)
+    val_p, g_p = vg_p(raw, *data_p)
+    val_x, g_x = vg_x(raw, *data_x)
+    np.testing.assert_allclose(float(val_p), float(val_x), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
