@@ -92,8 +92,10 @@ def main() -> None:
     # fused Pallas forward+backward on TPU; XLA SoA elsewhere
     if use_pallas and dev.platform != "cpu":
         def step():
-            val, grads = ggx_lsq_value_and_grad(pvec, *comp, tr, tg, tb,
-                                                block_rows=256)
+            # block_rows=128 measured optimal on v5e (9.2e9 vs
+            # 8.4e9 at 256, 7.1e9 at 512: smaller blocks pipeline
+            # the VMEM copies better)
+            val, grads = ggx_lsq_value_and_grad(pvec, *comp, tr, tg, tb)
             return val + grads[0]
     else:
         xla = jax.jit(jax.value_and_grad(soa.ggx_lsq_loss_soa))

@@ -72,7 +72,7 @@ def _kernel_ad(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
                    static_argnames=("block_rows", "interpret", "n_valid",
                                     "adjoint"))
 def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
-                           block_rows: int = 256, interpret: bool = False,
+                           block_rows: int = 128, interpret: bool = False,
                            n_valid: int | None = None,
                            adjoint: str = "hand"):
     """Returns (loss, grad(8,)) for the relative-L2 GGX+Schlick fit.
@@ -117,7 +117,7 @@ def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
                    static_argnames=("block_rows", "interpret", "n_valid",
                                     "mean_over_materials"))
 def ggx_lsq_value_and_grad_batched(pvecs, ix, iy, iz, ox, oy, oz,
-                                   tr, tg, tb, block_rows: int = 256,
+                                   tr, tg, tb, block_rows: int = 128,
                                    interpret: bool = False,
                                    n_valid: int | None = None,
                                    mean_over_materials: bool = False):
@@ -183,7 +183,7 @@ def ggx_lsq_value_and_grad_batched(pvecs, ix, iy, iz, ox, oy, oz,
     return loss, grad
 
 
-def pad_to_block(arrays, targets, block_rows: int = 256):
+def pad_to_block(arrays, targets, block_rows: int = 128):
     """Pad sample arrays to a multiple of 128*block_rows with samples
     whose target and prediction are forced to 0 (o below horizon), so
     they contribute nothing to loss or grad; returns arrays + the
