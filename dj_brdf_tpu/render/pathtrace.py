@@ -127,13 +127,15 @@ def _fused_nee_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
     if fam0 == fam1 and caps0 == caps1:
         pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
         return run(fam0, caps0, pv)
-    if {fam0, fam1} == {"ggx", "beck"} and not (caps0 or caps1):
+    if {fam0, fam1} == {"ggx", "beck"}:
         # GGX/Beckmann mix: ONE dual-family kernel — shared chain,
-        # per-lane select of the distribution-specific scalars
+        # per-lane select of the distribution-specific scalars; the
+        # GGX lanes keep their material's sampler (caps or qf)
         pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
         is_beck = is_sphere if fam0 == "beck" else ~is_sphere
         return soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz,
-                                          u1, u2, ox, oy, oz)
+                                          u1, u2, ox, oy, oz,
+                                          caps=caps0 or caps1)
     res0 = run(fam0, caps0, pv0)
     res1 = run(fam1, caps1, pv1)
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))

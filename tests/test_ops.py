@@ -326,20 +326,21 @@ def test_mixed_dual_kernel_matches_single_family(rng):
 
     lx, ly, lz = l[..., 0], l[..., 1], l[..., 2]
     ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
-    got = soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz, u1, u2,
-                                     ox, oy, oz)
 
     fb3 = soa.beckmann_evalp_soa(pv0, lx, ly, lz, ox, oy, oz)
     ob = soa.beckmann_evalp_is_soa(pv0, u1, u2, ox, oy, oz)
     fg3 = soa.ggx_evalp_soa(pv1, lx, ly, lz, ox, oy, oz)
-    og = soa.ggx_evalp_is_soa(pv1, u1, u2, ox, oy, oz, caps=False)
-    want = tuple(jnp.where(is_beck, a, b)
-                 for a, b in zip(fb3 + ob, fg3 + og))
-    for k, (g, w) in enumerate(zip(got, want)):
-        g, w = np.asarray(g), np.asarray(w)
-        close = np.isclose(g, w, rtol=5e-4, atol=5e-5)
-        assert close.mean() > 0.9995, (k, 1 - close.mean())
-        assert np.abs(g - w).max() < 5e-3, k
+    for caps in (False, True):
+        got = soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz, u1, u2,
+                                         ox, oy, oz, caps=caps)
+        og = soa.ggx_evalp_is_soa(pv1, u1, u2, ox, oy, oz, caps=caps)
+        want = tuple(jnp.where(is_beck, a, b)
+                     for a, b in zip(fb3 + ob, fg3 + og))
+        for k, (g, w) in enumerate(zip(got, want)):
+            g, w = np.asarray(g), np.asarray(w)
+            close = np.isclose(g, w, rtol=5e-4, atol=5e-5)
+            assert close.mean() > 0.9995, (caps, k, 1 - close.mean())
+            assert np.abs(g - w).max() < 5e-3, (caps, k)
 
 
 def test_fused_weights_energy_bound(rng):
