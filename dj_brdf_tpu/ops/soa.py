@@ -438,7 +438,8 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
 
 
 def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
-                           recip=None, caps: bool = False):
+                           recip=None, caps: bool = False,
+                           with_nee: bool = True):
     """Dual-family fused NEE evalp + VNDF sample + IS weight for
     per-ray GGX/Beckmann dispatch — the mixed-material path tracer
     kernel (VERDICT r2 weak #3).
@@ -462,7 +463,9 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     False = the reference-qf closed form, True = the spherical-caps
     construction (same VNDF, ~25% cheaper per lane — caps slopes come
     out directly in the standard frame, skipping the qf2/qf3
-    rationals)."""
+    rationals). ``with_nee=False`` skips the NEE chunk and returns
+    the 7-tuple (wr, wg, wb, ix, iy, iz, pdf) only (the path tracer's
+    spp-deduplicated first bounce computes NEE once per pixel)."""
     from dj_brdf_tpu.core.special import erf, erfinv
     from dj_brdf_tpu.microfacet.ndf import GGX as _GGX
     from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_erf_domain
@@ -522,32 +525,34 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     sig_o, c_o, a_o, b_o, inrm_o = warp_sigma(ox, oy, oz)
     g1o = g1(oz, sig_o, c_o)
 
-    # ---- NEE evalp at the light direction (F D G / (4 o.z)) --------
-    sig_l, c_l, _, _, _ = warp_sigma(lx, ly, lz)
-    g1l = g1(lz, sig_l, c_l)
-    g_nee = smith_g(g1l, g1o)
+    if with_nee:
+        # ---- NEE evalp at the light direction (F D G / (4 o.z)) ----
+        sig_l, c_l, _, _, _ = warp_sigma(lx, ly, lz)
+        g1l = g1(lz, sig_l, c_l)
+        g_nee = smith_g(g1l, g1o)
 
-    hx_n, hy_n, hz_n = lx + ox, ly + oy, lz + oz
-    hn_n = jax.lax.rsqrt(jnp.maximum(
-        hx_n * hx_n + hy_n * hy_n + hz_n * hz_n, 1e-24))
-    hx_n, hy_n, hz_n = hx_n * hn_n, hy_n * hn_n, hz_n * hn_n
-    valid_h = hz_n > 1e-4
-    inv_hz = recip(jnp.where(valid_h, hz_n, 1.0))
-    sx = -hx_n * inv_hz - txn
-    sy = -hy_n * inv_hz - tyn
-    x_ = sx * inv_ax
-    y_ = (ax * sy - ay_rho * sx) * inv_axays
-    inv_hz2 = inv_hz * inv_hz
-    d_nee = jnp.where(valid_h,
-                      inv_axays * (inv_hz2 * inv_hz2)
-                      * p22_sel(x_ * x_ + y_ * y_), 0.0)
-    cosd_n = jnp.clip(ox * hx_n + oy * hy_n + oz * hz_n, 0.0, 1.0)
-    Fr_n, Fg_n, Fb_n = schlick(cosd_n)
-    oz4 = 4.0 * oz
-    ok_b = (g_nee > 0) & (jnp.abs(oz4) >= 1e-12)
-    base = jnp.where(ok_b,
-                     d_nee * g_nee * recip(jnp.where(ok_b, oz4, 1.0)), 0.0)
-    fr, fg, fb = Fr_n * base, Fg_n * base, Fb_n * base
+        hx_n, hy_n, hz_n = lx + ox, ly + oy, lz + oz
+        hn_n = jax.lax.rsqrt(jnp.maximum(
+            hx_n * hx_n + hy_n * hy_n + hz_n * hz_n, 1e-24))
+        hx_n, hy_n, hz_n = hx_n * hn_n, hy_n * hn_n, hz_n * hn_n
+        valid_h = hz_n > 1e-4
+        inv_hz = recip(jnp.where(valid_h, hz_n, 1.0))
+        sx = -hx_n * inv_hz - txn
+        sy = -hy_n * inv_hz - tyn
+        x_ = sx * inv_ax
+        y_ = (ax * sy - ay_rho * sx) * inv_axays
+        inv_hz2 = inv_hz * inv_hz
+        d_nee = jnp.where(valid_h,
+                          inv_axays * (inv_hz2 * inv_hz2)
+                          * p22_sel(x_ * x_ + y_ * y_), 0.0)
+        cosd_n = jnp.clip(ox * hx_n + oy * hy_n + oz * hz_n, 0.0, 1.0)
+        Fr_n, Fg_n, Fb_n = schlick(cosd_n)
+        oz4 = 4.0 * oz
+        ok_b = (g_nee > 0) & (jnp.abs(oz4) >= 1e-12)
+        base = jnp.where(ok_b,
+                         d_nee * g_nee * recip(jnp.where(ok_b, oz4, 1.0)),
+                         0.0)
+        fr, fg, fb = Fr_n * base, Fg_n * base, Fb_n * base
 
     # ---- VNDF sample + IS weight -----------------------------------
     u1 = jnp.clip(u1, 0.0, 1.0) * 0.99998 + 0.00001
@@ -619,6 +624,8 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     ix = jnp.where(valid, ix, zero)
     iy = jnp.where(valid, iy, zero)
     iz = jnp.where(valid, iz, jnp.ones_like(iz))
+    if not with_nee:
+        return wr, wg, wb, ix, iy, iz, pdf
     return fr, fg, fb, wr, wg, wb, ix, iy, iz, pdf
 
 

@@ -141,6 +141,56 @@ def _fused_nee_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
 
 
+def _fused_nee_eval(infos, is_sphere, l_comp, o_comp):
+    """NEE evalp only (fr, fg, fb) — the spp-deduplicated first bounce
+    evaluates the light term once per pixel."""
+    from dj_brdf_tpu.ops import soa
+
+    (fam0, _, pv0), (fam1, _, pv1) = infos
+    lx, ly, lz = l_comp
+    ox, oy, oz = o_comp
+
+    def run(fam, pv):
+        if fam == "beck":
+            return soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz)
+        return soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz)
+
+    if fam0 == fam1:
+        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
+        return run(fam0, pv)
+    res0 = run(fam0, pv0)
+    res1 = run(fam1, pv1)
+    return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
+
+
+def _fused_sample(infos, is_sphere, u1, u2, o_comp):
+    """BSDF sample + IS weight only (wr, wg, wb, ix, iy, iz, pdf)."""
+    from dj_brdf_tpu.ops import soa
+
+    (fam0, caps0, pv0), (fam1, caps1, pv1) = infos
+    ox, oy, oz = o_comp
+    zero = jnp.zeros_like(ox)
+
+    def run(fam, caps, pv):
+        if fam == "beck":
+            return soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz)
+        return soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps)
+
+    if fam0 == fam1 and caps0 == caps1:
+        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
+        return run(fam0, caps0, pv)
+    if {fam0, fam1} == {"ggx", "beck"}:
+        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
+        is_beck = is_sphere if fam0 == "beck" else ~is_sphere
+        return soa.mixed_nee_evalp_is_soa(pv, is_beck, zero, zero, zero,
+                                          u1, u2, ox, oy, oz,
+                                          caps=caps0 or caps1,
+                                          with_nee=False)
+    res0 = run(fam0, caps0, pv0)
+    res1 = run(fam1, caps1, pv1)
+    return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
+
+
 def _intersect_soa(rox, roy, roz, rdx, rdy, rdz):
     """Component-array intersection (same scene/semantics as
     :func:`_intersect`): returns (hit, t, nx, ny, nz, is_sphere,
@@ -285,7 +335,15 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     path state, intersection, tangent frames and both BSDF ops stay
     SoA end to end (no (N, 3) tiles in the hot loop). Semantics match
     the generic loop to f32 rounding; RNG layout is shared with it so
-    the two paths integrate the same sample set."""
+    the two paths integrate the same sample set.
+
+    The FIRST bounce is spp-deduplicated: all spp copies of a pixel
+    share the camera ray, so its intersection, tangent frame, shadow
+    ray and NEE evaluation are computed once per pixel (P = N/spp
+    lanes) and tiled — only the BSDF sampler (which consumes the
+    per-copy random numbers) runs at full ray count. Values are
+    bit-identical to the per-ray computation (same ops, same
+    inputs)."""
     n_rays = rd.shape[0]
     # (B, N, 2) -> (B, 2, N): slices of the minor-dim-2 layout are
     # strided AoS reads; transpose once outside the scan instead
@@ -352,17 +410,84 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
         return (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
                 ra_r, ra_g, ra_b, alive), None
 
-    ones = jnp.ones(n_rays, jnp.float32)
-    zeros = jnp.zeros(n_rays, jnp.float32)
-    init = (ro[..., 0], ro[..., 1], ro[..., 2],
-            rd[..., 0], rd[..., 1], rd[..., 2],
-            ones, ones, ones, zeros, zeros, zeros,
-            jnp.ones(n_rays, bool))
-    carry, _ = jax.lax.scan(bounce, init, u)
+    # ---- first bounce, spp-deduplicated over P = N/spp pixels.
+    # Worth it when the NEE evaluation is expensive (a Beckmann side:
+    # erf-based sigmas + Gaussian p22; measured +6%); for cheap-NEE
+    # GGX-only scenes the tile copies outweigh the savings (-5%), so
+    # those run bounce 1 through the ordinary scan body.
+    dedup = spp > 1 and any(info[0] == "beck" for info in infos)
+    if not dedup:
+        ones = jnp.ones(n_rays, jnp.float32)
+        zeros = jnp.zeros(n_rays, jnp.float32)
+        init = (ro[..., 0], ro[..., 1], ro[..., 2],
+                rd[..., 0], rd[..., 1], rd[..., 2],
+                ones, ones, ones, zeros, zeros, zeros,
+                jnp.ones(n_rays, bool))
+        carry, _ = jax.lax.scan(bounce, init, u)
+        return _finish_soa(carry, sk_r, sk_g, sk_b, res, spp)
+
+    P = n_rays // spp
+    tile = lambda a: jnp.tile(a, spp)
+    rox_p, roy_p, roz_p = ro[:P, 0], ro[:P, 1], ro[:P, 2]
+    rdx_p, rdy_p, rdz_p = rd[:P, 0], rd[:P, 1], rd[:P, 2]
+    hit_p, _, nx_p, ny_p, nz_p, is_sph_p, px_p, py_p, pz_p = \
+        _intersect_soa(rox_p, roy_p, roz_p, rdx_p, rdy_p, rdz_p)
+    tx_p, ty_p, tz_p, bx_p, by_p, bz_p = _build_frame_soa(nx_p, ny_p, nz_p)
+    ox_p = -(rdx_p * tx_p + rdy_p * ty_p + rdz_p * tz_p)
+    oy_p = -(rdx_p * bx_p + rdy_p * by_p + rdz_p * bz_p)
+    oz_p = -(rdx_p * nx_p + rdy_p * ny_p + rdz_p * nz_p)
+    lx_p = ldx * tx_p + ldy * ty_p + ldz * tz_p
+    ly_p = ldx * bx_p + ldy * by_p + ldz * bz_p
+    lz_p = ldx * nx_p + ldy * ny_p + ldz * nz_p
+    sox_p, soy_p, soz_p = (px_p + nx_p * off, py_p + ny_p * off,
+                           pz_p + nz_p * off)
+    s_hit_p = _intersect_soa(sox_p, soy_p, soz_p,
+                             jnp.broadcast_to(ldx, sox_p.shape),
+                             jnp.broadcast_to(ldy, sox_p.shape),
+                             jnp.broadcast_to(ldz, sox_p.shape))[0]
+    fr_p, fg_p, fb_p = _fused_nee_eval(infos, is_sph_p,
+                                       (lx_p, ly_p, lz_p),
+                                       (ox_p, oy_p, oz_p))
+    # per-pixel radiance terms of bounce 1 (throughput = 1, all alive)
+    ok_p = hit_p & ~s_hit_p & (lz_p > 0.0) & (oz_p > 0.0)
+    ra1_r = jnp.where(~hit_p, sk_r, 0.0) + jnp.where(ok_p, lr_r * fr_p, 0.0)
+    ra1_g = jnp.where(~hit_p, sk_g, 0.0) + jnp.where(ok_p, lr_g * fg_p, 0.0)
+    ra1_b = jnp.where(~hit_p, sk_b, 0.0) + jnp.where(ok_p, lr_b * fb_p, 0.0)
+
+    # the sampler consumes per-copy randoms: full ray count
+    alive1 = tile(hit_p)
+    is_sph1 = tile(is_sph_p)
+    o1 = (tile(ox_p), tile(oy_p), tile(oz_p))
+    wr1, wg1, wb1, ix1, iy1, iz1, pdf1 = _fused_sample(
+        infos, is_sph1, u[0][0], u[0][1], o1)
+    th_r = jnp.where(alive1, wr1, 1.0)
+    th_g = jnp.where(alive1, wg1, 1.0)
+    th_b = jnp.where(alive1, wb1, 1.0)
+    alive1 = alive1 & (pdf1 > 0.0) & (iz1 > 0.0)
+    wx = ix1 * tile(tx_p) + iy1 * tile(bx_p) + iz1 * tile(nx_p)
+    wy = ix1 * tile(ty_p) + iy1 * tile(by_p) + iz1 * tile(ny_p)
+    wz = ix1 * tile(tz_p) + iy1 * tile(bz_p) + iz1 * tile(nz_p)
+    inrm1 = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-12))
+    rdx1 = jnp.where(alive1, wx * inrm1, tile(rdx_p))
+    rdy1 = jnp.where(alive1, wy * inrm1, tile(rdy_p))
+    rdz1 = jnp.where(alive1, wz * inrm1, tile(rdz_p))
+    rox1 = jnp.where(alive1, tile(sox_p), tile(rox_p))
+    roy1 = jnp.where(alive1, tile(soy_p), tile(roy_p))
+    roz1 = jnp.where(alive1, tile(soz_p), tile(roz_p))
+
+    init = (rox1, roy1, roz1, rdx1, rdy1, rdz1,
+            th_r, th_g, th_b,
+            tile(ra1_r), tile(ra1_g), tile(ra1_b),
+            alive1)
+    carry, _ = jax.lax.scan(bounce, init, u[1:])
+    return _finish_soa(carry, sk_r, sk_g, sk_b, res, spp)
+
+
+def _finish_soa(carry, sk_r, sk_g, sk_b, res: int, spp: int):
+    """Terminate remaining live paths into the sky and assemble the
+    image from the SoA carry."""
     (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
      ra_r, ra_g, ra_b, alive) = carry
-
-    # terminate remaining paths into the sky
     hit = _intersect_soa(rox, roy, roz, rdx, rdy, rdz)[0]
     miss = alive & ~hit
     ra_r = ra_r + jnp.where(miss, th_r * sk_r, 0.0)
