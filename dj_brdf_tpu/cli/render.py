@@ -240,9 +240,13 @@ def main(argv=None) -> int:
         # embed measured tables as XLA constants (DESIGN.md §6)
         img = jax.jit(lambda mat: render_sphere(
             mat.evalp, tuple(args.light), res=args.res))(mat)
-    arr = np.asarray(jnp.clip(img * args.exposure, 0.0, 1.0) ** (1 / 2.2))
-    from PIL import Image
-    Image.fromarray((arr * 255).astype(np.uint8)).save(args.output)
+    if args.output.endswith(".npy"):
+        # raw HDR radiance (pre-exposure/-gamma) for numeric use
+        np.save(args.output, np.asarray(img))
+    else:
+        arr = np.asarray(jnp.clip(img * args.exposure, 0.0, 1.0) ** (1 / 2.2))
+        from PIL import Image
+        Image.fromarray((arr * 255).astype(np.uint8)).save(args.output)
     print(f"wrote {args.output}")
     return 0
 

@@ -243,3 +243,18 @@ def test_render_cli_utia_tab(tmp_path):
                 upath, "--fit-res", 8, "--res", 24, "--pathtrace",
                 "--spp", 2, "--bounces", 2, "-o", out)
     assert r.returncode == 0, r.stderr
+
+
+def test_render_cli_npy_output(tmp_path):
+    """--output *.npy writes the raw HDR radiance array."""
+    import numpy as np
+
+    out = str(tmp_path / "img.npy")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx",
+                "--alpha1", "0.3", "--alpha2", "0.15",
+                "--res", "16", "-o", out)
+    assert r.returncode == 0, r.stderr
+    assert "wrote" in r.stdout
+    a = np.load(out)
+    assert a.shape == (16, 16, 3)
+    assert np.isfinite(a).all() and a.max() > 0
