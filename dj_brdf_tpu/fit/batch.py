@@ -125,6 +125,9 @@ def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
     autodiff path."""
     from dj_brdf_tpu.ops import soa
 
+    if fused not in ("auto", "never"):
+        raise ValueError(f"fused must be 'auto' or 'never', got {fused!r}")
+
     m = targets.shape[0]
     raw0 = jax.vmap(lambda _: lsq.raw_init())(jnp.arange(m))
     opt = optax.adam(lr)

@@ -352,6 +352,10 @@ def build_tabular_anisotropic(brdf, elevation_res: int,
     n = (elevation_res - 1) * azimuthal_res
     if power not in ("auto", "host", "device"):
         raise ValueError(f"power must be auto|host|device, got {power!r}")
+    if mesh is not None and power != "auto":
+        raise ValueError(
+            "mesh= always runs the sharded f32 power stage; an explicit "
+            f"power={power!r} selection would be ignored — pass power='auto'")
     on_device = (n > HOST_F64_MAX_N) if power == "auto" else \
         (power == "device")
 

@@ -133,9 +133,12 @@ def _fused_nee_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
         # GGX lanes keep their material's sampler (caps or qf)
         pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
         is_beck = is_sphere if fam0 == "beck" else ~is_sphere
+        # caps flag of the GGX-side material (Beckmann has no caps
+        # sampler; or-ing would silently misroute a future flagged dist)
+        ggx_caps = caps0 if fam0 == "ggx" else caps1
         return soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz,
                                           u1, u2, ox, oy, oz,
-                                          caps=caps0 or caps1)
+                                          caps=ggx_caps)
     res0 = run(fam0, caps0, pv0)
     res1 = run(fam1, caps1, pv1)
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))

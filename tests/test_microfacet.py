@@ -241,3 +241,42 @@ def test_tabular_nmap_sampler_matches_source_distribution(rng):
     # compare medians (heavy-tailed; mean diverges)
     np.testing.assert_allclose(float(jnp.median(r_tab)),
                                float(jnp.median(r_ggx)), rtol=0.05)
+
+
+def test_aniso_moment_fits_vmap_over_table_batch():
+    """The anisotropic moment fits are pure device computations
+    (VERDICT r3 #5): jit(vmap(fit)) over a stack of tables must match
+    the per-table loop, and gradients must flow to the table."""
+    from dj_brdf_tpu import fresnel as fm
+    from dj_brdf_tpu.fit import moments, tabular as ft, tabular_aniso as fta
+
+    dists = []
+    for (a1, a2, phi_a) in [(0.5, 0.25, 0.6), (0.3, 0.3, 0.0)]:
+        eval_fn = ft.microfacet_eval_fn(
+            GGX(), fm.Ideal(), MicrofacetParams.elliptic(a1, a2, phi_a))
+        d, _ = fta.build_tabular_anisotropic(eval_fn, 16, 16)
+        dists.append(d)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dists)
+
+    from dj_brdf_tpu.fit.moments import (
+        fit_beckmann_parameters_anisotropic as fit_b,
+        fit_ggx_parameters_anisotropic as fit_g)
+    for fit in (fit_b, fit_g):
+        batched = jax.jit(jax.vmap(fit))(stacked)
+        for k, d in enumerate(dists):
+            single = fit(d)
+            for f in ("ax", "ay", "rho", "txn", "tyn"):
+                np.testing.assert_allclose(
+                    float(getattr(batched, f)[k]), float(getattr(single, f)),
+                    rtol=1e-5, atol=1e-6, err_msg=f"{fit.__name__}.{f}[{k}]")
+
+    # gradients flow from the fitted alpha back to the p22 table
+    def loss(p22):
+        d = dists[0].replace(p22=p22) if hasattr(dists[0], "replace") else \
+            type(dists[0])(**{**{f: getattr(dists[0], f)
+                                 for f in ("p22", "sigma", "pdf1", "cdf1",
+                                           "qf1_table", "pdf2", "cdf2",
+                                           "qf2_table")}, "p22": p22})
+        return fit_g(d).ax
+    g = jax.grad(loss)(dists[0].p22)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
