@@ -329,8 +329,11 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
     (reference dj_beckmannconductor.cpp:371 -> microfacet::evalp_is
     dj_brdf.h:1734-1765 with beckmann::qf2 1897-1952). Same contract
     as :func:`ggx_evalp_is_soa`; Beckmann differs in the visible-slope
-    solver (lockstep safeguarded Halley in the erf domain,
-    ndf.beckmann_qf2_erf_domain) and the erf-based sigma_std."""
+    solver (lockstep safeguarded Halley in *slope* space,
+    ndf.beckmann_qf2_slope_domain — each step is exp + erf-poly, no
+    erfinv) and the erf-based sigma_std. The receiver's erf(cot) /
+    e^{-cot^2} pair is computed once and shared between sigma_std(o)
+    and the solver's CDF normalization."""
     from dj_brdf_tpu.core.special import erf, erfinv
 
     if recip is None:
@@ -365,14 +368,24 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
     a_o, b_o, c_o, q_o, inrm_o = warp(ox, oy, oz)
     kx, ky, kz = a_o * inrm_o, b_o * inrm_o, c_o * inrm_o
     valid = kz > 0.0
-    sig_o = sigma_beck(kz, q_o * inrm_o)
 
-    # --- visible-slope Halley solver in the rotated radial frame
-    # (shared with the layered path: ndf.beckmann_qf2_erf_domain)
-    from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_erf_domain
+    # receiver cot terms, shared by sigma_std(o) and the slope solver
+    # (below-horizon lanes produce gated garbage either way)
     sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
-    bb = beckmann_qf2_erf_domain(u1, kz, sin_k, recip=recip)
-    tx = erfinv(jnp.maximum(-0.9999, bb))
+    safe_sin = jnp.maximum(sin_k, 1e-12)
+    safe_cos = jnp.maximum(kz, 1e-12)
+    cot = safe_cos * recip(safe_sin)
+    tan = sin_k * recip(safe_cos)
+    erf_cot = erf(cot)
+    e_cot2 = jnp.exp(-cot * cot)
+    sig_std_o = (kz * (1.0 + erf_cot) + sin_k * e_cot2 * sqrt_pi_inv) * 0.5
+    sig_o = (q_o * inrm_o) * jnp.where(kz >= 1.0, 1.0, sig_std_o)
+
+    # --- visible-slope Halley solve directly in slope space
+    # (ndf.beckmann_qf2_slope_domain; no per-iteration erfinv)
+    from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_slope_domain
+    tx = beckmann_qf2_slope_domain(u1, kz, sin_k, recip=recip,
+                                   shared=(cot, tan, erf_cot, e_cot2))
     ty = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
 
     # rotate into the azimuthal frame of k (dj_brdf.h:1830-1842)
@@ -453,7 +466,7 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         closed form (2062-2065)
       * p22_std(r^2): e^{-r^2}/pi vs 1/(pi (1+r^2)^2)
       * visible-slope quantiles: the erf-domain Halley solve
-        (ndf.beckmann_qf2_erf_domain) vs GGX's closed-form qf2 +
+        (ndf.beckmann_qf2_slope_domain) vs GGX's closed-form qf2 +
         rational qf3 (2089-2146)
 
     so the cost is ~one Beckmann kernel instead of one Beckmann plus
@@ -468,7 +481,7 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     spp-deduplicated first bounce computes NEE once per pixel)."""
     from dj_brdf_tpu.core.special import erf, erfinv
     from dj_brdf_tpu.microfacet.ndf import GGX as _GGX
-    from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_erf_domain
+    from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_slope_domain
 
     if recip is None:
         recip = lambda x: 1.0 / x
@@ -486,9 +499,12 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         t1 = 1.0 + r2
         return jnp.where(is_beck, jnp.exp(-r2), recip(t1 * t1)) / jnp.pi
 
-    def warp_sigma(kx, ky, kz):
+    def warp_sigma(kx, ky, kz, with_shared: bool = False):
         """warp + family-selected sigma; returns (sigma, c, c_std,
-        nrm*inv... ) pieces shared by G1 and the sampler."""
+        nrm*inv... ) pieces shared by G1 and the sampler. With
+        ``with_shared`` also returns the (cot, tan, erf_cot, e_cot2)
+        tuple the Beckmann slope solver reuses (same transcendentals
+        as the Beckmann sigma_std)."""
         a = kx * ax + ky * ay_rho
         b = ky * ay_s
         c = kz - kx * txn - ky * tyn
@@ -498,10 +514,15 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         c_std = c * inrm
         sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 0.0))
         nu = c_std * recip(jnp.maximum(sin_k, 1e-12))
-        sig_beck = (c_std * (1.0 + erf(nu))
-                    + sin_k * jnp.exp(-nu * nu) * sqrt_pi_inv) * 0.5
+        erf_nu = erf(nu)
+        e_nu2 = jnp.exp(-nu * nu)
+        sig_beck = (c_std * (1.0 + erf_nu)
+                    + sin_k * e_nu2 * sqrt_pi_inv) * 0.5
         sig_beck = jnp.where(c_std >= 1.0, 1.0, sig_beck)
         sig = jnp.where(is_beck, nrm * sig_beck, (nrm + c) * 0.5)
+        if with_shared:
+            tan_nu = sin_k * recip(jnp.maximum(c_std, 1e-12))
+            return sig, c, a, b, inrm, (sin_k, nu, tan_nu, erf_nu, e_nu2)
         return sig, c, a, b, inrm
 
     def g1(kz_w, sig, c):
@@ -521,8 +542,9 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         return (f0r + c5 * (1.0 - f0r), f0g + c5 * (1.0 - f0g),
                 f0b + c5 * (1.0 - f0b))
 
-    # shared receiver terms
-    sig_o, c_o, a_o, b_o, inrm_o = warp_sigma(ox, oy, oz)
+    # shared receiver terms (+ the cot pieces the Beckmann solver reuses)
+    sig_o, c_o, a_o, b_o, inrm_o, shared_o = warp_sigma(
+        ox, oy, oz, with_shared=True)
     g1o = g1(oz, sig_o, c_o)
 
     if with_nee:
@@ -559,11 +581,13 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     u2 = jnp.clip(u2, 0.0, 1.0) * 0.99998 + 0.00001
     kx, ky, kz = a_o * inrm_o, b_o * inrm_o, c_o * inrm_o
     valid = kz > 0.0
-    sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
+    sin_k, nu_o, tan_o, erf_nu_o, e_nu2_o = shared_o
 
-    # slope quantiles: Halley (Beckmann) vs closed form / caps (GGX)
-    bb = beckmann_qf2_erf_domain(u1, kz, sin_k, recip=recip)
-    tx_b = erfinv(jnp.maximum(-0.9999, bb))
+    # slope quantiles: slope-space Halley (Beckmann, reusing the
+    # receiver-sigma transcendentals) vs closed form / caps (GGX)
+    tx_b = beckmann_qf2_slope_domain(
+        u1, kz, sin_k, recip=recip,
+        shared=(nu_o, tan_o, erf_nu_o, e_nu2_o))
     ty_b = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
     ni = sin_k == 0.0
     nrm_xy = jax.lax.rsqrt(jnp.maximum(kx * kx + ky * ky, 1e-24))

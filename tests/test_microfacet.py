@@ -280,3 +280,27 @@ def test_aniso_moment_fits_vmap_over_table_batch():
         return fit_g(d).ax
     g = jax.grad(loss)(dists[0].p22)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_beckmann_qf2_implicit_gradient_matches_fd(rng):
+    """The slope-domain solver differentiates by the implicit function
+    theorem (ndf._qf2_root custom_jvp), never through the unrolled
+    Halley steps — grads w.r.t. u and cos(theta_k) must match central
+    finite differences of the solve."""
+    from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_slope_domain
+
+    def f(u, c):
+        s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+        return beckmann_qf2_slope_domain(u, c, s)
+
+    u = jnp.asarray(rng.uniform(0.05, 0.95, 64), jnp.float32)
+    c = jnp.asarray(rng.uniform(0.1, 0.98, 64), jnp.float32)
+    gu = jax.grad(lambda u: f(u, c).sum())(u)
+    gc = jax.grad(lambda c: f(u, c).sum())(c)
+    eps = 1e-3
+    fdu = (np.asarray(f(u + eps, c)) - np.asarray(f(u - eps, c))) / (2 * eps)
+    fdc = (np.asarray(f(u, c + eps)) - np.asarray(f(u, c - eps))) / (2 * eps)
+    ru = np.abs(np.asarray(gu) - fdu) / (np.abs(fdu) + 1e-3)
+    rc = np.abs(np.asarray(gc) - fdc) / (np.abs(fdc) + 1e-3)
+    assert np.median(ru) < 1e-2 and (ru < 0.05).mean() > 0.95
+    assert np.median(rc) < 2e-2 and (rc < 0.1).mean() > 0.9
