@@ -233,10 +233,11 @@ def _build_frame_soa(nx, ny, nz):
     return tx, ty, tz, bx, by, bz
 
 
-@partial(jax.jit, static_argnames=("res", "spp", "max_bounces", "mesh"))
+@partial(jax.jit, static_argnames=("res", "spp", "max_bounces", "mesh",
+                                   "jitter"))
 def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
            res: int = 256, spp: int = 8, max_bounces: int = 3,
-           key=None, mesh=None):
+           key=None, mesh=None, jitter: bool = False):
     """Path-trace the scene. Returns an (res, res, 3) HDR image.
 
     ``sphere_mat``/``floor_mat``: any material with evalp/evalp_is in
@@ -244,7 +245,17 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     *toward* the light (a delta directional light). With ``mesh``, the
     ray batch is sharding-constrained over the mesh's data axis so XLA
     partitions the whole per-ray pipeline across devices (materials
-    replicate; the device count should divide res*res*spp)."""
+    replicate; the device count should divide res*res*spp).
+
+    ``jitter=True`` perturbs each sample's sensor position uniformly
+    within its pixel footprint (the per-sample bRec context of the
+    reference's Mitsuba integrators, mitsuba/dj_brdf.cpp:342-439), so
+    spp buys edge anti-aliasing as well as BSDF-variance reduction.
+    Default False = all spp copies of a pixel share the camera ray —
+    which is exactly what makes the spp-deduplicated first bounce an
+    identity optimization, so dedup is gated on ``not jitter``. The
+    jitter stream is a fold of ``key``; ``jitter=False`` output is
+    bit-identical to earlier versions."""
     if key is None:
         key = jax.random.PRNGKey(0)
     light_dir = normalize(jnp.asarray(light_dir, jnp.float32))
@@ -263,6 +274,12 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     n_rays = res * res * spp
     px = jnp.tile(px.reshape(-1), spp)
     py = jnp.tile(py.reshape(-1), spp)
+    if jitter:
+        ju = jax.random.uniform(jax.random.fold_in(key, 0x5e75),
+                                (n_rays, 2), minval=-1.0 / res,
+                                maxval=1.0 / res)
+        px = px + ju[:, 0]
+        py = py + ju[:, 1]
     fov_scale = 0.62
     rd = normalize(look + fov_scale * (px[..., None] * right
                                        + py[..., None] * up))
@@ -285,7 +302,7 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     infos = (_fused_info(sphere_mat), _fused_info(floor_mat))
     if all(x is not None for x in infos):
         return _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
-                           res, spp)
+                           res, spp, dedup_ok=not jitter)
 
     def bounce(carry, u_b):
         ro, rd, throughput, radiance, alive = carry
@@ -333,7 +350,7 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
 
 
 def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
-                res: int, spp: int):
+                res: int, spp: int, dedup_ok: bool = True):
     """The fused-material render loop on flat (N,) component arrays:
     path state, intersection, tangent frames and both BSDF ops stay
     SoA end to end (no (N, 3) tiles in the hot loop). Semantics match
@@ -418,7 +435,10 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     # erf-based sigmas + Gaussian p22; measured +6%); for cheap-NEE
     # GGX-only scenes the tile copies outweigh the savings (-5%), so
     # those run bounce 1 through the ordinary scan body.
-    dedup = spp > 1 and any(info[0] == "beck" for info in infos)
+    # dedup is only an identity when all spp copies share the camera
+    # ray — jittered sensors must not take it (dedup_ok=False)
+    dedup = (dedup_ok and spp > 1
+             and any(info[0] == "beck" for info in infos))
     if not dedup:
         ones = jnp.ones(n_rays, jnp.float32)
         zeros = jnp.zeros(n_rays, jnp.float32)
