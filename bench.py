@@ -393,12 +393,16 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
             params=MicrofacetParams.isotropic(0.5))
         light = jnp.asarray([0.3, 0.4, 0.8], jnp.float32)
         res, spp = 512, 8
+        # rbg key: the TPU-native bit generator (threefry costs ~20% of
+        # the frame; see render()'s docstring for the trade-off)
+        key = jax.random.key(0, impl="rbg")
 
         def stp():
             img = pathtrace.render(sphere, floor, light,
                                    jnp.asarray([4.0, 4.0, 4.0]),
                                    jnp.asarray([0.3, 0.35, 0.4]),
-                                   res=res, spp=spp, max_bounces=3)
+                                   res=res, spp=spp, max_bounces=3,
+                                   key=key)
             return img.sum()
         dt = _timeit(stp, max(1, iters // 4))
         return res * res * spp * max(1, iters // 4) / dt

@@ -255,7 +255,15 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     which is exactly what makes the spp-deduplicated first bounce an
     identity optimization, so dedup is gated on ``not jitter``. The
     jitter stream is a fold of ``key``; ``jitter=False`` output is
-    bit-identical to earlier versions."""
+    bit-identical to earlier versions.
+
+    The default ``key`` is a threefry key, whose bits are
+    partition-invariant (a mesh-sharded render equals the unsharded
+    one bit for bit, tested). On TPU, passing
+    ``key=jax.random.key(0, impl="rbg")`` instead cuts the RNG from
+    ~20% of the frame to ~7% (measured 2.6e8 -> 2.9e8 samples/s on
+    the mixed scene) at the cost of partition-variant bits — same
+    image statistics, different noise when the sharding changes."""
     if key is None:
         key = jax.random.PRNGKey(0)
     light_dir = normalize(jnp.asarray(light_dir, jnp.float32))
@@ -437,6 +445,15 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     # those run bounce 1 through the ordinary scan body.
     # dedup is only an identity when all spp copies share the camera
     # ray — jittered sensors must not take it (dedup_ok=False)
+    # NOTE: the bounce loop stays a lax.scan — unlike the solver's
+    # micro-loop (DESIGN.md §2), unrolling the large bounce body was
+    # measured 4x SLOWER (29 ms vs 7 ms/frame on the mixed scene):
+    # the per-bounce program is big enough that XLA's per-iteration
+    # fusion is the win, not cross-iteration fusion
+    def run_bounces(carry, u_bounces):
+        carry, _ = jax.lax.scan(bounce, carry, u_bounces)
+        return carry
+
     dedup = (dedup_ok and spp > 1
              and any(info[0] == "beck" for info in infos))
     if not dedup:
@@ -446,7 +463,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                 rd[..., 0], rd[..., 1], rd[..., 2],
                 ones, ones, ones, zeros, zeros, zeros,
                 jnp.ones(n_rays, bool))
-        carry, _ = jax.lax.scan(bounce, init, u)
+        carry = run_bounces(init, u)
         return _finish_soa(carry, sk_r, sk_g, sk_b, res, spp)
 
     P = n_rays // spp
@@ -502,7 +519,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
             th_r, th_g, th_b,
             tile(ra1_r), tile(ra1_g), tile(ra1_b),
             alive1)
-    carry, _ = jax.lax.scan(bounce, init, u[1:])
+    carry = run_bounces(init, u[1:])
     return _finish_soa(carry, sk_r, sk_g, sk_b, res, spp)
 
 
