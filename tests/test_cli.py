@@ -258,3 +258,27 @@ def test_render_cli_npy_output(tmp_path):
     a = np.load(out)
     assert a.shape == (16, 16, 3)
     assert np.isfinite(a).all() and a.max() > 0
+
+
+def test_validate_merl_fits_tool(merl_file, tmp_path):
+    """tools/validate_merl_fits.py (the real-data validation recipe,
+    reference README:20-22): given a directory of MERL binaries it must
+    fit them, agree with the C++ oracle when present, and exit 0."""
+    import tests.oracle as orc
+
+    data_dir = os.path.dirname(merl_file)
+    args = [sys.executable, os.path.join(REPO, "tools",
+                                         "validate_merl_fits.py"),
+            "--data", data_dir, "--res", "32"]
+    if not orc.available():
+        args.append("--no-oracle")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(args, capture_output=True, text=True, env=env,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "testmat" in r.stdout
+    if orc.available():
+        assert "oracle" in r.stdout and "MISMATCH" not in r.stdout

@@ -9,8 +9,11 @@ design is driven by measurements, not guesses.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -225,5 +228,75 @@ def main():
         print(f"v10 FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
+def utia_combine_experiments():
+    """Round-4 UTIA combine study (VERDICT r3 #8): the last untried
+    formulation — multiply the gathered (N,48) row by broadcast rank-1
+    weight rows and contract the channel interleave with a constant
+    (48,3) 0/1 matrix on the MXU — plus the per-channel strided-slice
+    variant, against the shipped einsum combine. Measured (v5e, round
+    4): current 1.54e8, MXU 1.09e8, sliced 6.6e7 evals/s — the MXU
+    shape LOSES; the gather's index-major padded layout remains the
+    binding constraint (docs/DESIGN.md section 6)."""
+    import numpy as np
+    from dj_brdf_tpu.core.math import from_spherical
+    from dj_brdf_tpu.models import utia as um
+
+    n = 1 << 22
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, kt = jax.random.split(key, 5)
+    i = from_spherical(jax.random.uniform(k1, (n,), minval=0.02, maxval=1.5),
+                       jax.random.uniform(k2, (n,), maxval=2 * jnp.pi))
+    o = from_spherical(jax.random.uniform(k3, (n,), minval=0.02, maxval=1.5),
+                       jax.random.uniform(k4, (n,), maxval=2 * jnp.pi))
+    u = um.Utia.build(jax.random.uniform(kt, (3, 6, 48, 6, 48),
+                                         jnp.float32) * 0.1)
+
+    def taps_and_weights(u_model, i, o):
+        theta_i, theta_o, phi_i, phi_o = um._angles_deg(i, o)
+        below = (theta_i >= 90.0) | (theta_o >= 90.0)
+        theta_i = jnp.minimum(theta_i, 90.0)
+        theta_o = jnp.minimum(theta_o, 90.0)
+        iti0, _, wti0, wti1 = um._axis_theta(theta_i, um.NTI)
+        itv0, _, wtv0, wtv1 = um._axis_theta(theta_o, um.NTV)
+        ipi0, _, wpi0, wpi1 = um._axis_phi(phi_i, um.NPI)
+        ipv0, _, wpv0, wpv1 = um._axis_phi(phi_o, um.NPV)
+        row = ((iti0 * um.NPI + ipi0) * (um.NTV - 1) + itv0) * um.NPV + ipv0
+        taps = jnp.take(u_model.packed, row, axis=0, mode="clip")
+        return (taps, below, (jnp.stack([wti0, wti1], -1),
+                              jnp.stack([wpi0, wpi1], -1),
+                              jnp.stack([wtv0, wtv1], -1),
+                              jnp.stack([wpv0, wpv1], -1)))
+
+    timed("utia current (einsum combine)",
+          lambda u_m, i, o: u_m.evalp(i, o), u, i, o, per=n)
+
+    S = jnp.asarray(np.eye(3)[np.arange(48) % 3], jnp.float32)
+
+    def mxu(u_m, i, o):
+        taps, below, (wt, wp, wv, wq) = taps_and_weights(u_m, i, o)
+        wt48 = jnp.repeat(wt, 24, axis=-1)
+        wp48 = jnp.tile(jnp.repeat(wp, 12, axis=-1), (1, 2))
+        wv48 = jnp.tile(jnp.repeat(wv, 6, axis=-1), (1, 4))
+        wq48 = jnp.tile(jnp.repeat(wq, 3, axis=-1), (1, 8))
+        prod = taps * (wt48 * wp48) * (wv48 * wq48)
+        rgb = jnp.dot(prod, S, preferred_element_type=jnp.float32)
+        return um._decode(rgb, below) * i[..., 2:3]
+
+    timed("utia MXU (48,3) contraction", mxu, u, i, o, per=n)
+
+    def sliced(u_m, i, o):
+        taps, below, (wt, wp, wv, wq) = taps_and_weights(u_m, i, o)
+        w = (wt[..., :, None, None, None] * wp[..., None, :, None, None]
+             * wv[..., None, None, :, None] * wq[..., None, None, None, :])
+        w = w.reshape(*w.shape[:-4], 16)
+        rgb = jnp.stack([(taps[:, c::3] * w).sum(-1) for c in range(3)], -1)
+        return um._decode(rgb, below) * i[..., 2:3]
+
+    timed("utia per-channel strided slices", sliced, u, i, o, per=n)
+
+
 if __name__ == "__main__":
-    main()
+    if "--utia" in sys.argv:
+        utia_combine_experiments()
+    else:
+        main()

@@ -167,7 +167,7 @@ def main() -> int:
             line += f"  | oracle {gb:.6f}/{gg:.6f} rel {rb:.1e}/{rg:.1e}" \
                     + ("" if ok else "  ORACLE MISMATCH")
             failures += not ok
-        if name in pinned:
+        if name in pinned and pinned[name].get("res", args.res) == args.res:
             pb, pg = pinned[name]["beckmann"], pinned[name]["ggx"]
             ok = (abs(ab - pb) / pb < PINNED_RTOL
                   and abs(ag - pg) / pg < PINNED_RTOL)
