@@ -62,6 +62,10 @@ def main(argv=None) -> int:
                          "instead of the direct-light sphere")
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--bounces", type=int, default=3)
+    ap.add_argument("--envmap", help=".npy (H,W,3) lat-long radiance: "
+                    "environment lighting with importance sampling + MIS "
+                    "(replaces --light and the constant sky; needs "
+                    "--pathtrace)")
     ap.add_argument("-o", "--output", default="render.png")
     args = ap.parse_args(argv)
 
@@ -231,10 +235,16 @@ def main(argv=None) -> int:
         from dj_brdf_tpu.render.pathtrace import render as pt_render
         floor = CosineMaterial(model=Lambert(
             reflectance=jnp.asarray([0.42, 0.42, 0.45], jnp.float32)))
+        em = None
+        if args.envmap:
+            from dj_brdf_tpu.render.envmap import EnvMap
+            em = EnvMap.build(jnp.asarray(np.load(args.envmap), jnp.float32))
         img = pt_render(mat, floor, tuple(args.light),
                         (3.0, 3.0, 3.0), (0.3, 0.38, 0.5),
                         res=args.res, spp=args.spp,
-                        max_bounces=args.bounces)
+                        max_bounces=args.bounces, envmap=em)
+    elif args.envmap:
+        ap.error("--envmap needs --pathtrace")
     else:
         # the material is a pytree jit ARGUMENT: closing over it would
         # embed measured tables as XLA constants (DESIGN.md §6)

@@ -237,8 +237,17 @@ def _build_frame_soa(nx, ny, nz):
                                    "jitter"))
 def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
            res: int = 256, spp: int = 8, max_bounces: int = 3,
-           key=None, mesh=None, jitter: bool = False):
+           key=None, mesh=None, jitter: bool = False, envmap=None):
     """Path-trace the scene. Returns an (res, res, 3) HDR image.
+
+    ``envmap``: optional :class:`dj_brdf_tpu.render.envmap.EnvMap`.
+    When given it REPLACES the delta light and constant sky (the
+    Mitsuba-envelope lighting of the reference's matpreview scene,
+    mitsuba/README): every bounce combines envmap importance sampling
+    with BSDF sampling by the power heuristic (MIS), and misses read
+    the envmap radiance with the matching weight. Differentiable
+    w.r.t. the envmap radiance (inverse lighting) as well as material
+    parameters.
 
     ``sphere_mat``/``floor_mat``: any material with evalp/evalp_is in
     the local frame (see render.materials). ``light_dir`` points
@@ -304,6 +313,18 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
         u = jax.lax.with_sharding_constraint(
             u, NamedSharding(mesh, P(None, DATA_AXIS)))
 
+    if envmap is not None:
+        # dedicated envmap stream: the BSDF stream stays bit-identical
+        # to the delta-light renders
+        u_env = jax.random.uniform(jax.random.fold_in(key, 0xE57),
+                                   (max_bounces, n_rays, 2))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from dj_brdf_tpu.parallel.mesh import DATA_AXIS
+            u_env = jax.lax.with_sharding_constraint(
+                u_env, NamedSharding(mesh, P(None, DATA_AXIS)))
+        return _render_envmap(mats, envmap, ro, rd, u, u_env, res, spp)
+
     # static material dispatch: both materials fused-capable -> the
     # flat component-array (SoA) loop; otherwise the generic
     # both-evaluate path on (..., 3) arrays
@@ -355,6 +376,88 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
 
     img = radiance.reshape(spp, res, res, 3).mean(axis=0)
     return img
+
+
+def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
+    """Environment-lit transport with multiple importance sampling.
+
+    Per bounce: one envmap NEE sample (divided by its true pdf,
+    weighted by the power heuristic against the BSDF's pdf at that
+    direction) plus one BSDF sample whose radiance is collected at the
+    NEXT segment's miss, weighted against the envmap's pdf there. The
+    camera ray's direct envmap hit carries weight 1 (no competing
+    strategy). Runs the generic layered material dispatch — any
+    framework material with evalp/pdf/evalp_is works."""
+    from dj_brdf_tpu.render.envmap import power_heuristic
+
+    n_rays = rd.shape[0]
+
+    def env_lookup(d):
+        """radiance + sampling pdf toward d: one packed row gather."""
+        r, g, b, pdf = em.eval_with_pdf(d[..., 0], d[..., 1], d[..., 2])
+        return jnp.stack([r, g, b], -1), pdf
+
+    def bounce(carry, u_b):
+        ro, rd, throughput, radiance, alive, prev_pdf = carry
+        u_bsdf, u_nee = u_b
+        hit, t, n, is_sphere = _intersect(ro, rd)
+
+        # miss -> envmap radiance, MIS-weighted against the pdf of the
+        # BSDF sample that produced this segment (prev_pdf < 0 marks
+        # the deterministic camera ray: weight 1)
+        le_miss, pdf_env_rd = env_lookup(rd)
+        w_mis = jnp.where(prev_pdf < 0.0, 1.0,
+                          power_heuristic(prev_pdf, pdf_env_rd))
+        miss = alive & ~hit
+        radiance = radiance + jnp.where(
+            miss[..., None], throughput * le_miss
+            * w_mis[..., None], 0.0)
+        alive = alive & hit
+
+        pos = ro + t[..., None] * rd
+        o_loc = world_to_local(n, -rd)
+
+        # next-event estimation: one envmap importance sample
+        ldx, ldy, ldz, pdf_l = em.sample(u_nee[:, 0], u_nee[:, 1])
+        l_world = jnp.stack([ldx, ldy, ldz], -1)
+        l_loc = world_to_local(n, l_world)
+        shadow_o = pos + n * _EPS * 3.0
+        lit = ~_occluded(shadow_o, l_world)
+
+        f = _material_eval(mats, is_sphere, "evalp", l_loc, o_loc)
+        pdf_b_at_l = _material_eval(mats, is_sphere, "pdf", l_loc, o_loc)
+        le, _ = env_lookup(l_world)
+        w_nee = power_heuristic(pdf_l, jnp.maximum(pdf_b_at_l, 0.0))
+        contrib = (throughput * le * f
+                   * (w_nee / jnp.maximum(pdf_l, 1e-12))[..., None])
+        ok = alive & lit & (l_loc[..., 2] > 0.0) & (o_loc[..., 2] > 0.0)
+        radiance = radiance + jnp.where(ok[..., None], contrib, 0.0)
+
+        # BSDF sampling continues the path; its pdf feeds the next
+        # segment's MIS weight
+        w, i_s, pdf = _material_eval(mats, is_sphere, "evalp_is",
+                                     u_bsdf[:, 0], u_bsdf[:, 1], o_loc)
+        throughput = throughput * jnp.where(alive[..., None], w, 1.0)
+        alive = alive & (pdf > 0.0) & (i_s[..., 2] > 0.0)
+        rd_new = normalize(local_to_world(n, i_s), eps=1e-12)
+        ro = jnp.where(alive[..., None], shadow_o, ro)
+        rd = jnp.where(alive[..., None], rd_new, rd)
+        prev_pdf = jnp.where(alive, pdf, prev_pdf)
+        return (ro, rd, throughput, radiance, alive, prev_pdf), None
+
+    init = (ro, rd, jnp.ones_like(rd), jnp.zeros_like(rd),
+            jnp.ones(n_rays, bool), jnp.full((n_rays,), -1.0, jnp.float32))
+    (ro, rd, throughput, radiance, alive, prev_pdf), _ = jax.lax.scan(
+        bounce, init, (u, u_env))
+    # terminate remaining live paths into the envmap (MIS-weighted)
+    hit, _, _, _ = _intersect(ro, rd)
+    miss = alive & ~hit
+    le_fin, pdf_env_fin = env_lookup(rd)
+    w_mis = jnp.where(prev_pdf < 0.0, 1.0,
+                      power_heuristic(prev_pdf, pdf_env_fin))
+    radiance = radiance + jnp.where(
+        miss[..., None], throughput * le_fin * w_mis[..., None], 0.0)
+    return radiance.reshape(spp, res, res, 3).mean(axis=0)
 
 
 def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,

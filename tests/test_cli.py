@@ -282,3 +282,18 @@ def test_validate_merl_fits_tool(merl_file, tmp_path):
     assert "testmat" in r.stdout
     if orc.available():
         assert "oracle" in r.stdout and "MISMATCH" not in r.stdout
+
+
+def test_render_cli_envmap(tmp_path):
+    rng = np.random.default_rng(0)
+    env = np.abs(rng.normal(1.0, 0.4, (8, 16, 3))).astype(np.float32)
+    envp = str(tmp_path / "env.npy")
+    np.save(envp, env)
+    out = str(tmp_path / "env_render.npy")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx",
+                "--alpha1", 0.3, "--pathtrace", "--envmap", envp,
+                "--res", 24, "--spp", 2, "--bounces", 2, "-o", out)
+    assert r.returncode == 0, r.stderr
+    img = np.load(out)
+    assert img.shape == (24, 24, 3) and np.isfinite(img).all()
+    assert img.mean() > 0.01

@@ -164,3 +164,26 @@ def test_filtered_material_evalp_is_per_pixel():
         close = np.isclose(got, want, rtol=1e-3, atol=atol)
         assert close.mean() > 0.999, f"frac bad {1 - close.mean()}"
     assert float((np.asarray(p) > 0).mean()) > 0.9
+
+
+@pytest.mark.skipif(not orc.available(), reason="no C++ oracle")
+def test_lrep_to_params_fuzz_matches_oracle():
+    """Randomized lrep->params sweep (reference dj_brdf.h:1976-1990
+    incl. the alpha/rho clamps): 24 seeded moment sets spanning valid,
+    near-degenerate, and clamp-triggering covariances."""
+    rng = np.random.default_rng(20260821)
+    for _ in range(24):
+        e1 = float(rng.uniform(-0.6, 0.6))
+        e2 = float(rng.uniform(-0.6, 0.6))
+        vx = float(rng.uniform(1e-4, 0.6))
+        vy = float(rng.uniform(1e-4, 0.6))
+        # correlation in [-1.1, 1.1]: values beyond +-0.99 exercise the
+        # reference's rho clamp; variances near 0 the alpha clamp
+        c = float(rng.uniform(-1.1, 1.1)) * np.sqrt(vx * vy)
+        e = (e1, e2, vx + e1 * e1, vy + e2 * e2, c + e1 * e2)
+        golden = orc.run_floats("lrep_roundtrip", *[round(x, 6) for x in e])[0]
+        p = lrep_to_params(Lrep(*[jnp.float32(round(x, 6)) for x in e]))
+        got = [float(p.ax), float(p.ay), float(p.rho), float(p.txn),
+               float(p.tyn)]
+        np.testing.assert_allclose(got, golden, rtol=2e-4, atol=1e-5,
+                                   err_msg=str(e))
