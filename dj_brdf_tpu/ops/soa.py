@@ -19,11 +19,15 @@ import jax
 import jax.numpy as jnp
 
 
-def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
+def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz, with_pdf: bool = False):
     """GGX+Schlick evalp on component arrays.
 
     ``pvec``: (8,) = [ax, ay, rho, txn, tyn, f0r, f0g, f0b] (already in
-    constrained space). Returns (r, g, b) component arrays."""
+    constrained space). Returns (r, g, b) component arrays; with
+    ``with_pdf`` also the VNDF sampler's density D/(4 sigma(o)) at
+    (i, o) (reference microfacet::pdf, dj_brdf.h:1713-1730) — the MIS
+    counter-pdf for envmap next-event estimation, nearly free here
+    because D and sigma(o) are already in registers."""
     ax, ay, rho = pvec[0], pvec[1], pvec[2]
     txn, tyn = pvec[3], pvec[4]
     f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
@@ -80,15 +84,22 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
     r = (f0r + c5 * (1.0 - f0r)) * base
     gg = (f0g + c5 * (1.0 - f0g)) * base
     b = (f0b + c5 * (1.0 - f0b)) * base
+    if with_pdf:
+        okp = (co > 0) & (so > 1e-12) & (iz > 0)
+        pdf = jnp.where(okp,
+                        0.25 * d / jnp.where(okp, so, 1.0), 0.0)
+        return r, gg, b, pdf
     return r, gg, b
 
 
-def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
+def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz,
+                       with_pdf: bool = False):
     """Beckmann+Schlick evalp on component arrays — the Beckmann
     counterpart of :func:`ggx_evalp_soa` (reference F*D*G/(4 o.z),
     dj_brdf.h:1529-1547, with the erf-based sigma_std 1871-1879 and
     Gaussian p22 1866-1869). ``pvec`` rows broadcast: pass (8,) for a
-    uniform material or (8, N) for per-sample parameters."""
+    uniform material or (8, N) for per-sample parameters. ``with_pdf``
+    as in :func:`ggx_evalp_soa`."""
     from dj_brdf_tpu.core.special import erf
 
     sqrt_pi_inv = 0.5641895835477563
@@ -154,6 +165,11 @@ def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz):
     r = (f0r + c5 * (1.0 - f0r)) * base
     gg = (f0g + c5 * (1.0 - f0g)) * base
     b = (f0b + c5 * (1.0 - f0b)) * base
+    if with_pdf:
+        okp = (co > 0) & (so > 1e-12) & (iz > 0)
+        pdf = jnp.where(okp,
+                        0.25 * d / jnp.where(okp, so, 1.0), 0.0)
+        return r, gg, b, pdf
     return r, gg, b
 
 
@@ -452,7 +468,8 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
 
 def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
                            recip=None, caps: bool = False,
-                           with_nee: bool = True):
+                           with_nee: bool = True,
+                           with_nee_pdf: bool = False):
     """Dual-family fused NEE evalp + VNDF sample + IS weight for
     per-ray GGX/Beckmann dispatch — the mixed-material path tracer
     kernel (VERDICT r2 weak #3).
@@ -575,6 +592,15 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
                          d_nee * g_nee * recip(jnp.where(ok_b, oz4, 1.0)),
                          0.0)
         fr, fg, fb = Fr_n * base, Fg_n * base, Fb_n * base
+        if with_nee_pdf:
+            # VNDF sampler density at the light direction (the MIS
+            # counter-pdf): D(h)/(4 sigma(o)), dj_brdf.h:1713-1730 —
+            # d_nee and sigma(o) are already in registers
+            okp = ((c_o > 0) & (jnp.abs(sig_o) >= 1e-12)
+                   & valid_h & (lz > 0))
+            pdf_nee = jnp.where(
+                okp, 0.25 * d_nee * recip(jnp.where(okp, sig_o, 1.0)),
+                0.0)
 
     # ---- VNDF sample + IS weight -----------------------------------
     u1 = jnp.clip(u1, 0.0, 1.0) * 0.99998 + 0.00001
@@ -650,6 +676,8 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     iz = jnp.where(valid, iz, jnp.ones_like(iz))
     if not with_nee:
         return wr, wg, wb, ix, iy, iz, pdf
+    if with_nee_pdf:
+        return fr, fg, fb, pdf_nee, wr, wg, wb, ix, iy, iz, pdf
     return fr, fg, fb, wr, wg, wb, ix, iy, iz, pdf
 
 

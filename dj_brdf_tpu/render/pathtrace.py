@@ -144,6 +144,44 @@ def _fused_nee_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
 
 
+def _fused_nee_pdf_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
+    """Like :func:`_fused_nee_and_sample` but additionally returns the
+    BSDF sampler's pdf at the NEE direction (the MIS counter-pdf for
+    environment lighting). 11-tuple: (fr, fg, fb, pdf_nee, wr, wg, wb,
+    ix, iy, iz, pdf)."""
+    from dj_brdf_tpu.ops import soa
+
+    (fam0, caps0, pv0), (fam1, caps1, pv1) = infos
+    lx, ly, lz = l_comp
+    ox, oy, oz = o_comp
+
+    def run(fam, caps, pv):
+        if fam == "beck":
+            f4 = soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
+                                        with_pdf=True)
+            out = soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz)
+        else:
+            f4 = soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
+                                   with_pdf=True)
+            out = soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps)
+        return f4 + out  # 11-tuple
+
+    if fam0 == fam1 and caps0 == caps1:
+        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
+        return run(fam0, caps0, pv)
+    if {fam0, fam1} == {"ggx", "beck"}:
+        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
+        is_beck = is_sphere if fam0 == "beck" else ~is_sphere
+        ggx_caps = caps0 if fam0 == "ggx" else caps1
+        return soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz,
+                                          u1, u2, ox, oy, oz,
+                                          caps=ggx_caps,
+                                          with_nee_pdf=True)
+    res0 = run(fam0, caps0, pv0)
+    res1 = run(fam1, caps1, pv1)
+    return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
+
+
 def _fused_nee_eval(infos, is_sphere, l_comp, o_comp):
     """NEE evalp only (fr, fg, fb) — the spp-deduplicated first bounce
     evaluates the light term once per pixel."""
@@ -323,6 +361,10 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
             from dj_brdf_tpu.parallel.mesh import DATA_AXIS
             u_env = jax.lax.with_sharding_constraint(
                 u_env, NamedSharding(mesh, P(None, DATA_AXIS)))
+        infos = (_fused_info(sphere_mat), _fused_info(floor_mat))
+        if all(x is not None for x in infos):
+            return _render_envmap_soa(infos, envmap, ro, rd, u, u_env,
+                                      res, spp)
         return _render_envmap(mats, envmap, ro, rd, u, u_env, res, spp)
 
     # static material dispatch: both materials fused-capable -> the
@@ -457,6 +499,112 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
                       power_heuristic(prev_pdf, pdf_env_fin))
     radiance = radiance + jnp.where(
         miss[..., None], throughput * le_fin * w_mis[..., None], 0.0)
+    return radiance.reshape(spp, res, res, 3).mean(axis=0)
+
+
+def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
+    """Environment-lit MIS transport on flat component arrays with the
+    fused material kernels — the SoA counterpart of
+    :func:`_render_envmap`. Per bounce: one packed envmap row gather
+    for the miss radiance+pdf, one for the NEE radiance, one
+    conditional-CDF row gather inside the emitter sample, and ONE
+    fused material kernel producing the NEE eval, its MIS counter-pdf,
+    and the BSDF sample together (mixed GGX/Beckmann scenes keep the
+    dual-family single-kernel dispatch)."""
+    from dj_brdf_tpu.render.envmap import power_heuristic
+
+    n_rays = rd.shape[0]
+    u = jnp.moveaxis(u, -1, 1)
+    u_env = jnp.moveaxis(u_env, -1, 1)
+    off = _EPS * 3.0
+
+    def bounce(carry, u_b):
+        (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+         ra_r, ra_g, ra_b, alive, prev_pdf) = carry
+        u_bsdf, u_nee = u_b
+        hit, t, nx, ny, nz, is_sphere, px, py, pz = _intersect_soa(
+            rox, roy, roz, rdx, rdy, rdz)
+
+        # miss -> envmap radiance with MIS against the generating
+        # BSDF pdf (prev_pdf < 0 marks the camera ray)
+        mr, mg, mb, pdf_env_rd = em.eval_with_pdf(rdx, rdy, rdz)
+        w_mis = jnp.where(prev_pdf < 0.0, 1.0,
+                          power_heuristic(prev_pdf, pdf_env_rd))
+        miss = alive & ~hit
+        ra_r = ra_r + jnp.where(miss, th_r * mr * w_mis, 0.0)
+        ra_g = ra_g + jnp.where(miss, th_g * mg * w_mis, 0.0)
+        ra_b = ra_b + jnp.where(miss, th_b * mb * w_mis, 0.0)
+        alive = alive & hit
+
+        tx, ty, tz, bx, by, bz = _build_frame_soa(nx, ny, nz)
+        ox = -(rdx * tx + rdy * ty + rdz * tz)
+        oy = -(rdx * bx + rdy * by + rdz * bz)
+        oz = -(rdx * nx + rdy * ny + rdz * nz)
+
+        # emitter importance sample (world), to the local frame
+        ldx, ldy, ldz, pdf_l = em.sample(u_nee[0], u_nee[1])
+        le_r, le_g, le_b = em.eval(ldx, ldy, ldz)
+        lx = ldx * tx + ldy * ty + ldz * tz
+        ly = ldx * bx + ldy * by + ldz * bz
+        lz = ldx * nx + ldy * ny + ldz * nz
+
+        sox, soy, soz = px + nx * off, py + ny * off, pz + nz * off
+        s_hit = _intersect_soa(sox, soy, soz,
+                               jnp.broadcast_to(ldx, sox.shape),
+                               jnp.broadcast_to(ldy, sox.shape),
+                               jnp.broadcast_to(ldz, sox.shape))[0]
+        lit = ~s_hit
+
+        (fr, fg, fb, pdf_nee, wr, wg, wb, ixl, iyl, izl,
+         pdf) = _fused_nee_pdf_and_sample(
+            infos, is_sphere, (lx, ly, lz), u_bsdf[0], u_bsdf[1],
+            (ox, oy, oz))
+
+        w_nee = power_heuristic(pdf_l, pdf_nee) / jnp.maximum(pdf_l, 1e-12)
+        ok = alive & lit & (lz > 0.0) & (oz > 0.0)
+        scale = jnp.where(ok, w_nee, 0.0)
+        ra_r = ra_r + th_r * le_r * fr * scale
+        ra_g = ra_g + th_g * le_g * fg * scale
+        ra_b = ra_b + th_b * le_b * fb * scale
+
+        th_r = th_r * jnp.where(alive, wr, 1.0)
+        th_g = th_g * jnp.where(alive, wg, 1.0)
+        th_b = th_b * jnp.where(alive, wb, 1.0)
+        alive = alive & (pdf > 0.0) & (izl > 0.0)
+
+        wx = ixl * tx + iyl * bx + izl * nx
+        wy = ixl * ty + iyl * by + izl * ny
+        wz = ixl * tz + iyl * bz + izl * nz
+        inrm = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz,
+                                         1e-12))
+        rdx = jnp.where(alive, wx * inrm, rdx)
+        rdy = jnp.where(alive, wy * inrm, rdy)
+        rdz = jnp.where(alive, wz * inrm, rdz)
+        rox = jnp.where(alive, sox, rox)
+        roy = jnp.where(alive, soy, roy)
+        roz = jnp.where(alive, soz, roz)
+        prev_pdf = jnp.where(alive, pdf, prev_pdf)
+        return (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+                ra_r, ra_g, ra_b, alive, prev_pdf), None
+
+    ones = jnp.ones(n_rays, jnp.float32)
+    zeros = jnp.zeros(n_rays, jnp.float32)
+    init = (ro[..., 0], ro[..., 1], ro[..., 2],
+            rd[..., 0], rd[..., 1], rd[..., 2],
+            ones, ones, ones, zeros, zeros, zeros,
+            jnp.ones(n_rays, bool), jnp.full((n_rays,), -1.0, jnp.float32))
+    carry, _ = jax.lax.scan(bounce, init, (u, u_env))
+    (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+     ra_r, ra_g, ra_b, alive, prev_pdf) = carry
+    hit = _intersect_soa(rox, roy, roz, rdx, rdy, rdz)[0]
+    miss = alive & ~hit
+    mr, mg, mb, pdf_env_fin = em.eval_with_pdf(rdx, rdy, rdz)
+    w_mis = jnp.where(prev_pdf < 0.0, 1.0,
+                      power_heuristic(prev_pdf, pdf_env_fin))
+    ra_r = ra_r + jnp.where(miss, th_r * mr * w_mis, 0.0)
+    ra_g = ra_g + jnp.where(miss, th_g * mg * w_mis, 0.0)
+    ra_b = ra_b + jnp.where(miss, th_b * mb * w_mis, 0.0)
+    radiance = jnp.stack([ra_r, ra_g, ra_b], -1)
     return radiance.reshape(spp, res, res, 3).mean(axis=0)
 
 

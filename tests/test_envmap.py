@@ -148,3 +148,36 @@ def test_envmap_gradient_inverse_lighting():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_envmap_soa_matches_generic(monkeypatch):
+    """The fused SoA envmap loop (_render_envmap_soa: one kernel for
+    NEE eval + MIS counter-pdf + BSDF sample) renders the same image
+    as the generic layered loop, for mixed-family and same-family
+    scenes."""
+    em = EnvMap.build(_sun_sky(sun=30.0))
+
+    def scene(floor_dist):
+        sphere = materials.MicrofacetMaterial(
+            dist=GGX(), fres=fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3])),
+            params=MicrofacetParams.elliptic(0.3, 0.15, 0.7))
+        floor = materials.MicrofacetMaterial(
+            dist=floor_dist,
+            fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+            params=MicrofacetParams.isotropic(0.5))
+        return (sphere, floor, jnp.asarray([0.3, 0.4, 0.8], jnp.float32),
+                jnp.zeros(3), jnp.zeros(3))
+
+    for floor_dist in (Beckmann(), GGX()):
+        args = scene(floor_dist)
+        img_fast = pathtrace.render(*args, res=24, spp=4, max_bounces=2,
+                                    envmap=em)
+        with monkeypatch.context() as mp:
+            mp.setattr(pathtrace, "_fused_info", lambda m: None)
+            jax.clear_caches()
+            img_generic = pathtrace.render(*args, res=24, spp=4,
+                                           max_bounces=2, envmap=em)
+        np.testing.assert_allclose(np.asarray(img_fast),
+                                   np.asarray(img_generic),
+                                   rtol=2e-3, atol=2e-3)
+    jax.clear_caches()
