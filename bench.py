@@ -415,6 +415,38 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
     _metric("pathtrace_ggx_samples_per_s", lambda: pathtrace_rate(GGX()),
             unit="samples/s")
 
+    # environment-lit MIS transport (render/envmap.py + the SoA envmap
+    # loop): per-bounce emitter sampling/eval is gather-issue-bound
+    # (DESIGN.md "Environment-map lighting"), so this is a table
+    # workload, not a kernel workload
+    def pathtrace_env_rate():
+        import numpy as np
+        from dj_brdf_tpu.render import materials, pathtrace
+        from dj_brdf_tpu.render.envmap import EnvMap
+        rng = np.random.default_rng(0)
+        img = np.abs(rng.normal(1.0, 0.5, (32, 64, 3))).astype(np.float32)
+        img[6:9, 20:25] *= 60.0
+        em = EnvMap.build(jnp.asarray(img))
+        sphere = materials.MicrofacetMaterial(dist=GGX(), fres=fres,
+                                              params=params)
+        floor = materials.MicrofacetMaterial(
+            dist=Beckmann(),
+            fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+            params=MicrofacetParams.isotropic(0.5))
+        res, spp = 256, 8
+        rkey = jax.random.key(0, impl="rbg")
+
+        def stp():
+            out = pathtrace.render(
+                sphere, floor, jnp.asarray([0.3, 0.4, 0.8]),
+                jnp.zeros(3), jnp.zeros(3), res=res, spp=spp,
+                max_bounces=3, envmap=em, key=rkey)
+            return out.sum()
+        dt = _timeit(stp, max(1, iters // 4))
+        return res * res * spp * max(1, iters // 4) / dt
+    _metric("pathtrace_envmap_samples_per_s", pathtrace_env_rate,
+            unit="samples/s")
+
     # --- power-iteration matvec at the production aniso kernel size
     # (8010^2, dj_brdf.h:2525-2579), on-device f32
     def matvec_rate():

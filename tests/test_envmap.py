@@ -181,3 +181,24 @@ def test_envmap_soa_matches_generic(monkeypatch):
                                    np.asarray(img_generic),
                                    rtol=2e-3, atol=2e-3)
     jax.clear_caches()
+
+
+def test_envmap_sharded_matches_unsharded():
+    """Envmap MIS transport under a data-axis mesh sharding == the
+    unsharded render (rays shard, emitter tables replicate)."""
+    from dj_brdf_tpu.parallel.mesh import make_mesh
+
+    em = EnvMap.build(_sun_sky())
+    sphere = materials.MicrofacetMaterial(
+        dist=GGX(), fres=fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3])),
+        params=MicrofacetParams.elliptic(0.3, 0.15, 0.7))
+    floor = materials.MicrofacetMaterial(
+        dist=Beckmann(), fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+        params=MicrofacetParams.isotropic(0.5))
+    args = (sphere, floor, jnp.asarray([0.3, 0.4, 0.8], jnp.float32),
+            jnp.zeros(3), jnp.zeros(3))
+    img0 = pathtrace.render(*args, res=16, spp=8, max_bounces=2, envmap=em)
+    img1 = pathtrace.render(*args, res=16, spp=8, max_bounces=2, envmap=em,
+                            mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=1e-5, atol=1e-6)
