@@ -55,8 +55,6 @@ def beckmann_qf2_slope_domain(u, cos_theta_k, sin_theta_k,
     ``shared``: optional (cot, tan, c0, e_cot2) precomputed by the
     caller (the fused SoA kernels share them with sigma_std(o), which
     needs erf/exp of the very same cot)."""
-    from dj_brdf_tpu.core.special import erf, erfinv
-
     if recip is None:
         recip = lambda x: 1.0 / x
     if shared is None:
@@ -140,9 +138,14 @@ def _qf2_root_jvp(iterations, recip, primals, tangents):
     t = _qf2_root(iterations, recip, u, tan, normalization, t0, hi)
     e = jnp.exp(-t * t)
     # F_t = N (2/sqrt(pi)) e (1 - t tan)  (>= 0; -> 0 in the flat tail,
-    # where the true quantile sensitivity genuinely diverges — clamp)
+    # where the true quantile sensitivity genuinely diverges). The
+    # floor is deliberate source-level gradient clipping: it bounds
+    # the amplification of tail lanes (u within ~1e-5 of 1, where the
+    # SoA kernels clamp u anyway) at 1e3x instead of letting single
+    # samples dominate a render gradient with 1e6-scale fireflies;
+    # interior-lane gradients (FD-verified) are unaffected.
     ft = normalization * (2.0 * _SQRT_PI_INV) * e * (1.0 - t * tan)
-    ft = jnp.maximum(ft, 1e-6)
+    ft = jnp.maximum(ft, 1e-3)
     f_tan = normalization * _SQRT_PI_INV * e
     f_norm = u * recip(jnp.maximum(normalization, 1e-30))  # (1+erf t+..)
     dt = (du - f_tan * dtan - f_norm * dnorm) * recip(ft)

@@ -38,8 +38,6 @@ class EnvMap:
     """Lat-long environment light with two-level importance tables."""
 
     radiance: jnp.ndarray   # (H, W, 3)
-    pdf_bins: jnp.ndarray   # (H, W)  mass / (dtheta*dphi); direction
-    #                         pdf is pdf_bins / sin(theta)
     row_cdf: jnp.ndarray    # (H,)    inclusive cumulative row masses
     row_mass: jnp.ndarray   # (H,)
     col_cdf: jnp.ndarray    # (H, W)  inclusive cumulative per-row
@@ -80,7 +78,9 @@ class EnvMap:
         packed = jnp.concatenate(
             [r00, r01, r10, r11, p00, p01, p10, p11], -1
         ).reshape(h * w, 16)
-        return cls(radiance=radiance, pdf_bins=pdf_bins, row_cdf=row_cdf,
+        # pdf_bins is consumed only by the packing above — the render
+        # loops read densities from `packed`, so it is not a field
+        return cls(radiance=radiance, row_cdf=row_cdf,
                    row_mass=row_mass, col_cdf=col_cdf, packed=packed)
 
     # -- queries -------------------------------------------------------
