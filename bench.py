@@ -56,15 +56,16 @@ def _timeit_stats(step, iters: int, rounds: int = 3, agree: float = 0.10,
         times.append(time.perf_counter() - t0)
         if len(times) >= rounds:
             srt = sorted(times)
-            if srt[1] / srt[0] - 1.0 <= agree or len(times) >= max_rounds:
+            if (srt[1] / max(srt[0], 1e-12) - 1.0 <= agree
+                    or len(times) >= max_rounds):
                 break
     srt = sorted(times)
     n = len(times)
     mean = sum(times) / n
     var = sum((t - mean) ** 2 for t in times) / n
     stats = {"best": srt[0], "median": srt[n // 2],
-             "cv": (var ** 0.5) / mean, "rounds": n,
-             "agreed": srt[1] / srt[0] - 1.0 <= agree}
+             "cv": (var ** 0.5) / max(mean, 1e-12), "rounds": n,
+             "agreed": srt[1] / max(srt[0], 1e-12) - 1.0 <= agree}
     _LAST_STATS.clear()
     _LAST_STATS.update(stats)
     return stats
