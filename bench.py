@@ -124,35 +124,77 @@ def main() -> None:
                 return val + grads[0]
             return step
 
-        # runtime block_rows sweep: 128 is the historical optimum on
-        # v5e but the margin is run-dependent on a tunneled device —
-        # measure a quick round each and keep the best
+        # INTERLEAVED block_rows sweep (VERDICT r4 #6): the old
+        # sequential sweep let a slow session epoch poison whichever
+        # candidate ran during it. Rounds go round-robin across
+        # candidates, so tunnel-jitter epochs degrade all candidates
+        # equally; the headline gets an extended retry budget and
+        # reports median-of-best-3 alongside the best.
         cands = ((64, 128, 256)
                  if os.environ.get("BENCH_SWEEP_BLOCK", "1") == "1"
                  else (128,))
-        best_br, best_rate = 128, 0.0
+        steps = {br: make_step(br) for br in cands}
         for br in cands:
-            sweep_it = max(iters // 2, 1)
-            st = _timeit_stats(make_step(br), sweep_it, rounds=2)
-            r = n * sweep_it / st["best"]
-            print(f"# block_rows={br}: {r:.3e}", file=sys.stderr)
-            if r > best_rate:
-                best_br, best_rate = br, r
-        step = make_step(best_br)
+            float(steps[br]())          # compile + first dispatch
+        times = {br: [] for br in cands}
+
+        def do_round(br):
+            t0 = time.perf_counter()
+            s = None
+            for _ in range(iters):
+                s = steps[br]()
+            float(s)
+            times[br].append(time.perf_counter() - t0)
+
+        min_rounds, max_rounds, agree = 3, 12, 0.10
+        rnd = 0
+        while True:
+            rnd += 1
+            for br in cands:
+                do_round(br)
+            best_br = min(cands, key=lambda b: min(times[b]))
+            srt = sorted(times[best_br])
+            if rnd >= min_rounds and (
+                    srt[1] / max(srt[0], 1e-12) - 1.0 <= agree
+                    or rnd >= max_rounds):
+                break
+        for br in cands:
+            print(f"# block_rows={br}: {n * iters / min(times[br]):.3e}",
+                  file=sys.stderr)
         print(f"# headline block_rows={best_br}", file=sys.stderr)
+        step = steps[best_br]
+        headline_times = times[best_br]
     else:
         xla = jax.jit(jax.value_and_grad(soa.ggx_lsq_loss_soa))
 
         def step():
             val, grads = xla(pvec, *comp, tr, tg, tb)
             return val + grads[0]
+        headline_times = None
+
+    def stats_from(ts):
+        srt = sorted(ts)
+        nt = len(ts)
+        mean = sum(ts) / nt
+        var = sum((t - mean) ** 2 for t in ts) / nt
+        return {"best": srt[0], "median": srt[nt // 2],
+                "median_best3": srt[:3][len(srt[:3]) // 2],
+                "cv": (var ** 0.5) / max(mean, 1e-12), "rounds": nt,
+                "agreed": srt[1] / max(srt[0], 1e-12) - 1.0 <= 0.10}
 
     def measure_headline():
-        st = _timeit_stats(step, iters)
+        if headline_times is not None and headline_times:
+            st = stats_from(headline_times)
+            headline_times.clear()  # a re-measure starts fresh rounds
+        else:
+            st = _timeit_stats(step, iters, max_rounds=12)
+            st.setdefault("median_best3", st["median"])
         rate = n * iters / st["best"]
         print(f"# headline: {rate:.3e} evals/s  "
               f"(rounds={st['rounds']} cv={st['cv']:.3f} "
-              f"agreed={st['agreed']})", file=sys.stderr)
+              f"agreed={st['agreed']} "
+              f"median_best3={n * iters / st['median_best3']:.3e})",
+              file=sys.stderr)
         return rate, st
 
     evals_per_s, hstats = measure_headline()
@@ -186,6 +228,9 @@ def main() -> None:
         "spread_cv": hstats["cv"],
         "rounds": hstats["rounds"],
         "rounds_agreed_10pct": hstats["agreed"],
+        "median_of_best3":
+            n * iters / hstats["median_best3"]
+            if "median_best3" in hstats else None,
         "consistent_vs_fit_step":
             _FIT_STEP_RATE.get("v", 0.0) <= evals_per_s,
     }))
@@ -335,6 +380,44 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
         _FIT_STEP_RATE["v"] = rate  # consumed by the headline invariant
         return rate
     _metric("fit_step_evals_per_s", fit_step_rate, target=1e9)
+
+    # --- Beckmann end-to-end fit step through the family-routed hand
+    # adjoint (VERDICT r4 #5: the reference treats fit_beckmann_
+    # parameters as co-equal with GGX, dj_brdf.h:3133-3158; the erf/
+    # exp forward terms are CSE'd and the backward reuses them)
+    def fit_step_beckmann_rate():
+        import optax
+
+        from dj_brdf_tpu.fit import lsq
+        from dj_brdf_tpu.ops import soa
+
+        pvec_true = jnp.asarray([0.25, 0.25, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
+                                jnp.float32)
+        tr, tg, tb = soa.beckmann_evalp_soa(pvec_true, *soa.split_dirs(i, o))
+        target = jnp.stack([tr, tg, tb], -1)
+        vg, data = lsq.make_fused_value_and_grad(
+            i, o, target, use_pallas=jax.devices()[0].platform != "cpu",
+            family="beck")
+        opt = optax.adam(5e-2)
+        state = {"raw": lsq.raw_init()}
+        state["opt"] = opt.init(state["raw"])
+
+        @jax.jit
+        def step_fn(raw, opt_state, *data):
+            val, grads = vg(raw, *data)
+            updates, opt_state = opt.update(grads, opt_state)
+            raw = optax.apply_updates(raw, updates)
+            return raw, opt_state, val
+
+        def stp():
+            state["raw"], state["opt"], val = step_fn(
+                state["raw"], state["opt"], *data)
+            return val
+
+        dt = _timeit(stp, iters)
+        return n * iters / dt
+    _metric("fit_step_beckmann_evals_per_s", fit_step_beckmann_rate,
+            target=1e9)
 
     # --- batched multi-material fit step (fit/batch.py fused path:
     # one kernel, direction blocks reused across materials)

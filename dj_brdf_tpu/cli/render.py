@@ -62,10 +62,26 @@ def main(argv=None) -> int:
                          "instead of the direct-light sphere")
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--bounces", type=int, default=3)
-    ap.add_argument("--envmap", help=".npy (H,W,3) lat-long radiance: "
-                    "environment lighting with importance sampling + MIS "
-                    "(replaces --light and the constant sky; needs "
-                    "--pathtrace)")
+    ap.add_argument("--floor-model", default="lambert",
+                    choices=["lambert", "ggx", "beckmann", "lean"],
+                    help="ground-plane material for --pathtrace; 'lean' "
+                         "uses --floor-leanmap1/--floor-leanmap2 (full "
+                         "maps fetched per hit, the matpreview floor)")
+    ap.add_argument("--floor-alpha", type=float, default=0.4,
+                    help="floor roughness (ggx/beckmann) or LEAN base "
+                         "roughness (lean)")
+    ap.add_argument("--floor-f0", type=float, nargs=3,
+                    default=[0.35, 0.35, 0.35])
+    ap.add_argument("--floor-leanmap1", help="floor E1,E2 map .npy "
+                    "(--floor-model lean)")
+    ap.add_argument("--floor-leanmap2", help="floor E3,E4,E5 map .npy")
+    ap.add_argument("--envmap", help=".npy (H,W,3) or Radiance .hdr "
+                    "lat-long radiance: environment lighting with "
+                    "importance sampling + MIS (replaces --light and the "
+                    "constant sky; needs --pathtrace)")
+    ap.add_argument("--envmap-rot-z", type=float, default=0.0,
+                    help="rotate the environment emitter about +z "
+                         "(degrees; the scenes' toWorld orientation)")
     ap.add_argument("-o", "--output", default="render.png")
     args = ap.parse_args(argv)
 
@@ -90,43 +106,66 @@ def main(argv=None) -> int:
     textured = args.alpha1_map or args.alpha2_map or args.alpha_angle_map
     tab_textured_params = None
     if textured:
-        # per-shading-point roughness: sample the maps at the preview
-        # sphere's UVs and build per-pixel elliptic params — the
-        # textured alpha1/alpha2/alphaAngle front-end of the dj_brdf
-        # plugin (mitsuba/dj_brdf.cpp:166-288, 353-357)
         if args.pathtrace:
-            ap.error("textured roughness requires the sphere renderer "
-                     "(drop --pathtrace)")
-        if args.model not in ("ggx", "beckmann", "merl_tab", "utia_tab"):
-            ap.error(f"--alpha*-map textures apply to the microfacet "
-                     f"models (ggx/beckmann/merl_tab/utia_tab), not "
-                     f"{args.model}")
-        from dj_brdf_tpu.render.sphere import (sample_texture,
-                                               sphere_normals, sphere_uv)
-        n_tex, _ = sphere_normals(args.res)
-        uu, vv = sphere_uv(n_tex)
+            # per-hit texture fetch inside the bounce loop (the
+            # integrator-orthogonal path, mitsuba/dj_brdf.cpp:353-357)
+            # — built below as a TexturedMicrofacetMaterial
+            if args.model not in ("ggx", "beckmann"):
+                ap.error("textured roughness under --pathtrace supports "
+                         "the analytic microfacet models (ggx/beckmann)")
+        else:
+            # sphere renderer: sample the maps at the preview sphere's
+            # UVs and build per-pixel elliptic params
+            # (mitsuba/dj_brdf.cpp:166-288, 353-357)
+            if args.model not in ("ggx", "beckmann", "merl_tab",
+                                  "utia_tab"):
+                ap.error(f"--alpha*-map textures apply to the microfacet "
+                         f"models (ggx/beckmann/merl_tab/utia_tab), not "
+                         f"{args.model}")
+            from dj_brdf_tpu.render.sphere import (sample_texture,
+                                                   sphere_normals,
+                                                   sphere_uv)
+            n_tex, _ = sphere_normals(args.res)
+            uu, vv = sphere_uv(n_tex)
 
-        def tex_or(path, const):
-            if not path:
-                return jnp.full(uu.shape, jnp.float32(const))
-            t = jnp.asarray(np.load(path), jnp.float32)
-            return sample_texture(t, uu, vv)
+            def tex_or(path, const):
+                if not path:
+                    return jnp.full(uu.shape, jnp.float32(const))
+                t = jnp.asarray(np.load(path), jnp.float32)
+                return sample_texture(t, uu, vv)
 
-        params = MicrofacetParams.elliptic(
-            tex_or(args.alpha1_map, args.alpha1),
-            tex_or(args.alpha2_map, a2),
-            tex_or(args.alpha_angle_map, args.alpha_angle))
-        # for the tabulated-NDF models the untextured base roughness is
-        # the standard unit frame, so unmapped components default to
-        # 1.0 / 0.0 rather than the analytic-model defaults
-        tab_textured_params = MicrofacetParams.elliptic(
-            tex_or(args.alpha1_map, 1.0),
-            tex_or(args.alpha2_map, 1.0),
-            tex_or(args.alpha_angle_map, 0.0))
+            params = MicrofacetParams.elliptic(
+                tex_or(args.alpha1_map, args.alpha1),
+                tex_or(args.alpha2_map, a2),
+                tex_or(args.alpha_angle_map, args.alpha_angle))
+            # for the tabulated-NDF models the untextured base
+            # roughness is the standard unit frame, so unmapped
+            # components default to 1.0 / 0.0 rather than the
+            # analytic-model defaults
+            tab_textured_params = MicrofacetParams.elliptic(
+                tex_or(args.alpha1_map, 1.0),
+                tex_or(args.alpha2_map, 1.0),
+                tex_or(args.alpha_angle_map, 0.0))
 
     if args.model in ("ggx", "beckmann"):
         dist = GGX() if args.model == "ggx" else Beckmann()
-        mat = MicrofacetMaterial(dist=dist, fres=fres, params=params)
+        if textured and args.pathtrace:
+            from dj_brdf_tpu.render.materials import \
+                TexturedMicrofacetMaterial
+
+            def tex_or_scalar(path, const):
+                if not path:
+                    return jnp.float32(const)
+                return jnp.asarray(np.load(path), jnp.float32)
+
+            mat = TexturedMicrofacetMaterial(
+                dist=dist, fres=fres,
+                alpha1=tex_or_scalar(args.alpha1_map, args.alpha1),
+                alpha2=tex_or_scalar(args.alpha2_map, a2),
+                alpha_angle=tex_or_scalar(args.alpha_angle_map,
+                                          args.alpha_angle))
+        else:
+            mat = MicrofacetMaterial(dist=dist, fres=fres, params=params)
     elif args.model == "lambert":
         mat = CosineMaterial(model=Lambert(
             reflectance=jnp.asarray(args.f0, jnp.float32)))
@@ -213,10 +252,13 @@ def main(argv=None) -> int:
         if args.mip > 0:
             pyramid = build_mip_pyramid(lean)
             lean = pyramid[min(args.mip, len(pyramid) - 1)]
-        # per-pixel moments: sample the maps at the sphere's UVs
-        n, _ = sphere_normals(args.res)
-        uu, vv = sphere_uv(n)
-        lean = jax.tree.map(lambda t: sample_texture(t, uu, vv), lean)
+        if not args.pathtrace:
+            # sphere renderer: per-pixel moments sampled at its UVs;
+            # the path tracer instead keeps the full maps and fetches
+            # per hit inside the bounce loop
+            n, _ = sphere_normals(args.res)
+            uu, vv = sphere_uv(n)
+            lean = jax.tree.map(lambda t: sample_texture(t, uu, vv), lean)
         mat = FilteredBeckmannMaterial(
             lean=lean, base_params=params,
             eta=jnp.asarray(args.eta, jnp.float32),
@@ -233,12 +275,41 @@ def main(argv=None) -> int:
 
     if args.pathtrace:
         from dj_brdf_tpu.render.pathtrace import render as pt_render
-        floor = CosineMaterial(model=Lambert(
-            reflectance=jnp.asarray([0.42, 0.42, 0.45], jnp.float32)))
+        if args.floor_model == "lambert":
+            floor = CosineMaterial(model=Lambert(
+                reflectance=jnp.asarray([0.42, 0.42, 0.45], jnp.float32)))
+        elif args.floor_model in ("ggx", "beckmann"):
+            floor = MicrofacetMaterial(
+                dist=GGX() if args.floor_model == "ggx" else Beckmann(),
+                fres=fresnel.Schlick(
+                    f0=jnp.asarray(args.floor_f0, jnp.float32)),
+                params=MicrofacetParams.isotropic(args.floor_alpha))
+        else:  # lean: the matpreview floor — full LEAN maps, fetched
+            #        per hit inside the bounce loop
+            if not (args.floor_leanmap1 and args.floor_leanmap2):
+                ap.error("--floor-model lean requires --floor-leanmap1 "
+                         "and --floor-leanmap2")
+            from dj_brdf_tpu.lean.lrep import Lrep
+            from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+            m1 = jnp.asarray(np.load(args.floor_leanmap1), jnp.float32)
+            m2 = jnp.asarray(np.load(args.floor_leanmap2), jnp.float32)
+            floor = FilteredBeckmannMaterial(
+                lean=Lrep(E1=m1[..., 0], E2=m1[..., 1], E3=m2[..., 0],
+                          E4=m2[..., 1], E5=m2[..., 2]),
+                base_params=MicrofacetParams.isotropic(args.floor_alpha),
+                eta=jnp.asarray(args.eta, jnp.float32),
+                k=jnp.asarray(args.k, jnp.float32),
+                dmap_scale=jnp.float32(args.dmap_scale),
+                lean_filtering=not args.naive_mip, biased=args.biased)
         em = None
         if args.envmap:
+            from dj_brdf_tpu.io.hdr import load_radiance_any
             from dj_brdf_tpu.render.envmap import EnvMap
-            em = EnvMap.build(jnp.asarray(np.load(args.envmap), jnp.float32))
+            rot = (EnvMap.rotation_z(np.deg2rad(args.envmap_rot_z))
+                   if args.envmap_rot_z else None)
+            em = EnvMap.build(
+                jnp.asarray(load_radiance_any(args.envmap), jnp.float32),
+                rotation=rot)
         img = pt_render(mat, floor, tuple(args.light),
                         (3.0, 3.0, 3.0), (0.3, 0.38, 0.5),
                         res=args.res, spp=args.spp,

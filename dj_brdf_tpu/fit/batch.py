@@ -118,11 +118,11 @@ def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
     (fully independent fits — zero communication; the mesh turns 100
     sequential CPU fits into M/D per device).
 
-    ``fused="auto"`` routes GGX-family fits through the hand-written
-    adjoint (the batched fused Pallas kernel on an unsharded TPU —
-    direction blocks fetched once and reused across materials — or
-    the same adjoint in XLA elsewhere); "never" keeps the layered
-    autodiff path."""
+    ``fused="auto"`` routes GGX-family and Beckmann fits through the
+    hand-written adjoint (the batched fused Pallas kernel on an
+    unsharded TPU — direction blocks fetched once and reused across
+    materials — or the same adjoint in XLA elsewhere); "never" keeps
+    the layered autodiff path."""
     from dj_brdf_tpu.ops import soa
 
     if fused not in ("auto", "never"):
@@ -132,11 +132,14 @@ def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
     raw0 = jax.vmap(lambda _: lsq.raw_init())(jnp.arange(m))
     opt = optax.adam(lr)
 
-    use_fused = fused == "auto" and lsq.fused_eligible(dist)
+    family = lsq.fused_eligible(dist)
+    use_fused = fused == "auto" and family is not None
     use_pallas = (use_fused and mesh is None
                   and jax.default_backend() == "tpu")
 
     if use_fused:
+        fwdbwd = (soa.beckmann_lsq_fwdbwd_soa if family == "beck"
+                  else soa.ggx_lsq_fwdbwd_soa)
         comp = soa.split_dirs(i, o)
         tg3 = (targets[..., 0], targets[..., 1], targets[..., 2])  # (M, N)
         n = comp[0].size
@@ -153,10 +156,11 @@ def fit_materials(targets, i, o, steps: int = 300, lr: float = 5e-2,
                 from dj_brdf_tpu.ops.fused_fit import \
                     ggx_lsq_value_and_grad_batched
                 per_mat, gp = ggx_lsq_value_and_grad_batched(
-                    pvecs, *data, n_valid=n, mean_over_materials=True)
+                    pvecs, *data, n_valid=n, mean_over_materials=True,
+                    family=family)
             else:
                 sums, gsums = jax.vmap(
-                    lambda pv, tr, tg, tb: soa.ggx_lsq_fwdbwd_soa(
+                    lambda pv, tr, tg, tb: fwdbwd(
                         pv, *data[:6], tr, tg, tb))(pvecs, *data[6:])
                 per_mat = sums / n
                 gp = gsums / (n * m)

@@ -70,16 +70,26 @@ def make_loss(dist, shadow: bool = True,
     return loss
 
 
-def fused_eligible(dist, shadow: bool = True) -> bool:
-    """True when the fit shape matches the fused GGX+Schlick kernel
-    (ops/fused_fit.py): GGX-family distribution, height-correlated
-    Smith shadowing, the standard RawFit parameterization."""
-    from dj_brdf_tpu.microfacet.ndf import GGX
-    return shadow and isinstance(dist, GGX)
+def fused_eligible(dist, shadow: bool = True):
+    """The fused-kernel family ("ggx" or "beck") when the fit shape
+    matches a hand-adjoint kernel (ops/fused_fit.py): GGX-family or
+    Beckmann distribution, height-correlated Smith shadowing, the
+    standard RawFit parameterization — the reference's co-equal fit
+    pair (dj_brdf.h:3133-3184). None otherwise (truthiness preserved
+    for old boolean callers)."""
+    from dj_brdf_tpu.microfacet.ndf import GGX, Beckmann
+    if not shadow:
+        return None
+    if isinstance(dist, GGX):
+        return "ggx"
+    if type(dist) is Beckmann:
+        return "beck"
+    return None
 
 
 def make_fused_value_and_grad(i, o, target, use_pallas: bool | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              family: str = "ggx"):
     """Build the GGX+Schlick fit step through the hand-written adjoint
     — the product fitting step runs at the benched fused-kernel rate
     instead of AD-graph speed (VERDICT r2 weak #1; hot chain
@@ -109,13 +119,17 @@ def make_fused_value_and_grad(i, o, target, use_pallas: bool | None = None,
     if use_pallas or interpret:
         comp, targets, n = pad_to_block(comp, targets)
 
+    fwdbwd = (soa.beckmann_lsq_fwdbwd_soa if family == "beck"
+              else soa.ggx_lsq_fwdbwd_soa)
+
     def value_and_grad(raw: RawFit, *data):
         pvec, vjp = jax.vjp(soa.raw_to_pvec, raw)
         if use_pallas or interpret:
             val, gp = ggx_lsq_value_and_grad(pvec, *data, n_valid=n,
-                                             interpret=interpret)
+                                             interpret=interpret,
+                                             family=family)
         else:
-            s, gs = soa.ggx_lsq_fwdbwd_soa(pvec, *data)
+            s, gs = fwdbwd(pvec, *data)
             val, gp = s / n, gs / n
         (graw,) = vjp(gp)
         return val, graw
@@ -132,10 +146,11 @@ def fit_lsq(dist, i, o, target, steps: int = 200, lr: float = 5e-2,
     batch — pass shardings over a mesh data axis to data-parallelize;
     gradients reduce over devices automatically.
 
-    ``fused``: "auto" routes GGX-family fits through the hand-adjoint
-    fused path (:func:`make_fused_value_and_grad`; Pallas on TPU, the
-    same analytic adjoint in XLA elsewhere/sharded); "never" forces
-    the layered autodiff path (other distributions always use it).
+    ``fused``: "auto" routes GGX-family and Beckmann fits through the
+    hand-adjoint fused path (:func:`make_fused_value_and_grad`; Pallas
+    on TPU, the same analytic adjoint in XLA elsewhere/sharded);
+    "never" forces the layered autodiff path (other distributions
+    always use it).
 
     Returns (params, fresnel, losses)."""
     if fused not in ("auto", "never"):
@@ -149,13 +164,15 @@ def fit_lsq(dist, i, o, target, steps: int = 200, lr: float = 5e-2,
         o = jax.device_put(o, in_shardings)
         target = jax.device_put(target, in_shardings)
 
-    if fused == "auto" and fused_eligible(dist, shadow):
+    family = fused_eligible(dist, shadow)
+    if fused == "auto" and family:
         # the Pallas kernel does not auto-partition; sharded batches
         # take the XLA form of the same adjoint (psum comes from pjit)
         vg, data = make_fused_value_and_grad(
             i, o, target,
             use_pallas=(in_shardings is None
-                        and jax.default_backend() == "tpu"))
+                        and jax.default_backend() == "tpu"),
+            family=family)
     else:
         loss = make_loss(dist, shadow)
 

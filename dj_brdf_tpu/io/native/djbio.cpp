@@ -13,6 +13,7 @@
 
 #include <cstdio>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 
@@ -125,6 +126,50 @@ void djbio_nmap_to_lean(const float *nmap, int h, int w,
     }
 }
 
+// Walker/Vose alias table for n bins. `mass` is an unnormalized f64
+// probability vector; fills prob[n] (acceptance threshold in (0, 1])
+// and alias[n] (partner bin). O(n), single pass with two worklists —
+// the production build path for environment-map importance tables
+// (render/envmap.py; the reference's scenes are lit by Mitsuba
+// lat-long emitters whose sampling tables are likewise built on the
+// host at scene load, mitsuba/README:21-23).
+int djbio_build_alias(const double *mass, long n, float *prob,
+                      int32_t *alias) {
+    if (n <= 0) return -1;
+    double sum = 0.0;
+    for (long i = 0; i < n; ++i) {
+        if (!(mass[i] >= 0.0)) return -2;  // negative or NaN
+        sum += mass[i];
+    }
+    if (!(sum > 0.0)) return -3;
+    double *p = new double[n];
+    int32_t *small = new int32_t[n];
+    int32_t *large = new int32_t[n];
+    long ns = 0, nl = 0;
+    const double scale = (double)n / sum;
+    for (long i = 0; i < n; ++i) {
+        p[i] = mass[i] * scale;
+        alias[i] = (int32_t)i;
+        if (p[i] < 1.0) small[ns++] = (int32_t)i;
+        else            large[nl++] = (int32_t)i;
+    }
+    while (ns > 0 && nl > 0) {
+        int32_t s = small[--ns];
+        int32_t l = large[--nl];
+        prob[s] = (float)p[s];
+        alias[s] = l;
+        p[l] -= 1.0 - p[s];
+        if (p[l] < 1.0) small[ns++] = l;
+        else            large[nl++] = l;
+    }
+    while (nl > 0) prob[large[--nl]] = 1.0f;  // fp leftovers -> certain
+    while (ns > 0) prob[small[--ns]] = 1.0f;
+    delete[] p;
+    delete[] small;
+    delete[] large;
+    return 0;
+}
+
 // one mip level: 2x2 mean of each of the 5 moment planes
 void djbio_lean_mip_reduce(const float *lean, int h, int w, float *out) {
     const long n = (long)h * w;
@@ -143,6 +188,144 @@ void djbio_lean_mip_reduce(const float *lean, int h, int w, float *out) {
                 dst[j * w2 + i] = 0.25f * s;
             }
     }
+}
+
+// ---- Radiance RGBE (.hdr) ------------------------------------------
+// The reference's environment emitters are HDR lat-long images
+// (mitsuba/README:21-23; host image IO is CImg/Mitsuba territory in
+// the reference). This is a minimal self-contained Radiance decoder:
+// header + "-Y h +X w" resolution line, then per-scanline either
+// adaptive RLE (2,2,hi,lo marker) or flat/old-style RGBE records.
+
+static int hdr_read_header(FILE *f, int *h, int *w, double *exposure) {
+    char line[512];
+    if (!fgets(line, sizeof line, f)) return -1;
+    if (strncmp(line, "#?", 2) != 0) return -2;  // #?RADIANCE / #?RGBE
+    *exposure = 1.0;
+    for (;;) {
+        if (!fgets(line, sizeof line, f)) return -3;
+        if (line[0] == '\n' || line[0] == '\r') break;   // end of header
+        if (strncmp(line, "EXPOSURE=", 9) == 0) {
+            double e = atof(line + 9);
+            if (e > 0.0) *exposure *= e;
+        }
+        // FORMAT=32-bit_rle_rgbe assumed; xyze is not supported
+        if (strncmp(line, "FORMAT=", 7) == 0 &&
+            strstr(line, "rgbe") == nullptr) return -4;
+    }
+    if (!fgets(line, sizeof line, f)) return -5;
+    int hh = 0, ww = 0;
+    if (sscanf(line, "-Y %d +X %d", &hh, &ww) != 2) return -6;
+    if (hh <= 0 || ww <= 0) return -7;
+    *h = hh;
+    *w = ww;
+    return 0;
+}
+
+static void rgbe_to_float(const uint8_t *rgbe, double inv_exposure,
+                          float *out) {
+    if (rgbe[3] == 0) {
+        out[0] = out[1] = out[2] = 0.0f;
+        return;
+    }
+    const double f = ldexp(1.0, (int)rgbe[3] - (128 + 8)) * inv_exposure;
+    out[0] = (float)(rgbe[0] * f);
+    out[1] = (float)(rgbe[1] * f);
+    out[2] = (float)(rgbe[2] * f);
+}
+
+// reads one scanline of w RGBE quadruples into buf (w*4 bytes)
+static int hdr_read_scanline(FILE *f, int w, uint8_t *buf) {
+    int c0 = fgetc(f), c1 = fgetc(f), c2 = fgetc(f), c3 = fgetc(f);
+    if (c3 == EOF) return -1;
+    if (c0 == 2 && c1 == 2 && ((c2 << 8) | c3) == w && w >= 8 &&
+        w < 32768) {
+        // adaptive RLE: 4 component planes, runs or literal spans
+        for (int comp = 0; comp < 4; ++comp) {
+            int i = 0;
+            while (i < w) {
+                int count = fgetc(f);
+                if (count == EOF) return -2;
+                if (count > 128) {                    // run
+                    int val = fgetc(f);
+                    if (val == EOF) return -3;
+                    count -= 128;
+                    if (i + count > w) return -4;
+                    for (int k = 0; k < count; ++k)
+                        buf[4 * (i + k) + comp] = (uint8_t)val;
+                } else {                              // literal span
+                    if (count == 0 || i + count > w) return -5;
+                    for (int k = 0; k < count; ++k) {
+                        int val = fgetc(f);
+                        if (val == EOF) return -6;
+                        buf[4 * (i + k) + comp] = (uint8_t)val;
+                    }
+                }
+                i += count;
+            }
+        }
+        return 0;
+    }
+    // flat / old-style: first pixel already read; (1,1,1,n) repeats
+    uint8_t prev[4] = {(uint8_t)c0, (uint8_t)c1, (uint8_t)c2, (uint8_t)c3};
+    int i = 0;
+    int shift = 0;
+    for (;;) {
+        if (prev[0] == 1 && prev[1] == 1 && prev[2] == 1) {
+            int count = (int)prev[3] << shift;
+            if (i == 0 || i + count > w) return -7;
+            for (int k = 0; k < count; ++k)
+                memcpy(buf + 4 * (i + k), buf + 4 * (i - 1), 4);
+            i += count;
+            shift += 8;
+        } else {
+            memcpy(buf + 4 * i, prev, 4);
+            ++i;
+            shift = 0;
+        }
+        if (i >= w) return 0;
+        if (fread(prev, 1, 4, f) != 4) return -8;
+    }
+}
+
+// probe the image size (two-call pattern: size, then pixels)
+int djbio_hdr_size(const char *path, int32_t *h, int32_t *w) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -10;
+    int hh, ww;
+    double exposure;
+    int rc = hdr_read_header(f, &hh, &ww, &exposure);
+    fclose(f);
+    if (rc != 0) return rc;
+    *h = hh;
+    *w = ww;
+    return 0;
+}
+
+// decode the full image into out (h*w*3 float32, row-major, divided
+// by any EXPOSURE headers so values are true radiance)
+int djbio_load_hdr(const char *path, float *out) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -10;
+    int h, w;
+    double exposure;
+    int rc = hdr_read_header(f, &h, &w, &exposure);
+    if (rc != 0) {
+        fclose(f);
+        return rc;
+    }
+    const double inv_exposure = 1.0 / exposure;
+    uint8_t *buf = new uint8_t[(size_t)w * 4];
+    for (int j = 0; j < h && rc == 0; ++j) {
+        rc = hdr_read_scanline(f, w, buf);
+        if (rc == 0)
+            for (int i = 0; i < w; ++i)
+                rgbe_to_float(buf + 4 * i, inv_exposure,
+                              out + 3 * ((size_t)j * w + i));
+    }
+    delete[] buf;
+    fclose(f);
+    return rc == 0 ? 0 : rc - 100;
 }
 
 }  // extern "C"

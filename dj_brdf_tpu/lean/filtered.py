@@ -59,6 +59,35 @@ class FilteredBeckmannMaterial:
         return filtered_params(self.lean, self.base_params, scale,
                                self.lean_filtering, self.biased)
 
+    def pvec_provider(self):
+        """Closure ``(uu, vv) -> (8, N)`` for the path tracer's fused
+        loop when ``lean`` holds full (H, W) moment maps: fetch the 5
+        LEAN moments at the per-hit uv (ONE packed row gather),
+        unbias/combine/convert exactly as :func:`filtered_params` —
+        the per-shading-point LEAN fetch the reference runs inside any
+        Mitsuba integrator (dj_beckmannconductor.cpp:280-428). Fresnel
+        rides separately as the exact conductor form (pvec f0 rows are
+        unused). The 5 maps pack once per trace, outside the bounce
+        scan."""
+        from dj_brdf_tpu.render.materials import _fetch_rows
+        from dj_brdf_tpu.render.pathtrace import _stack_pvec
+
+        h, w = self.lean.E1.shape
+        packed = jnp.stack([self.lean.E1, self.lean.E2, self.lean.E3,
+                            self.lean.E4, self.lean.E5], -1).reshape(-1, 5)
+        scale = 1.0 if self.dmap_scale is None else self.dmap_scale
+
+        def pvec_at(uu, vv):
+            row = _fetch_rows(packed, h, w, uu, vv)
+            lean_px = Lrep(E1=row[..., 0], E2=row[..., 1], E3=row[..., 2],
+                           E4=row[..., 3], E5=row[..., 4])
+            p = filtered_params(lean_px, self.base_params, scale,
+                                self.lean_filtering, self.biased)
+            return _stack_pvec(p.ax, p.ay, p.rho, p.txn, p.tyn,
+                               0.0, 0.0, 0.0)
+
+        return pvec_at
+
     def evalp(self, i, o):
         """f_r*cos with exact conductor Fresnel on top (reference
         :317-327; fresnelConductorExact at dot(o, h))."""

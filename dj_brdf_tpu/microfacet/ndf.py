@@ -71,7 +71,14 @@ def beckmann_qf2_slope_domain(u, cos_theta_k, sin_theta_k,
     fit = 1.0 + cos_theta_k * (-0.876 + cos_theta_k
                                * (0.4265 - 0.0594 * cos_theta_k))
     b0 = c0 - (1.0 + c0) * jnp.power(1.0 - u, fit)
-    normalization = recip(1.0 + c0 + _SQRT_PI_INV * tan * e_cot2)
+    # the CDF normalization 1 + erf(cot) + tan e^{-cot^2}/sqrt(pi) is
+    # >= 1 for every valid receiver; it approaches 0 only on BELOW-
+    # horizon lanes that callers gate out (the mixed dual-family
+    # kernel feeds unclamped cot there). The floor keeps the
+    # reciprocal finite so reverse-mode through gated lanes stays
+    # 0 * finite instead of 0 * inf = NaN.
+    normalization = recip(jnp.maximum(
+        1.0 + c0 + _SQRT_PI_INV * tan * e_cot2, 1e-12))
 
     t0 = erfinv(jnp.maximum(-0.9999, b0))
     hi = jnp.minimum(cot, 4.0)

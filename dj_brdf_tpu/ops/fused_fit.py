@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dj_brdf_tpu.ops.soa import ggx_lsq_fwdbwd_soa, ggx_lsq_loss_soa
+from dj_brdf_tpu.ops.soa import (beckmann_lsq_fwdbwd_soa,
+                                 ggx_lsq_fwdbwd_soa, ggx_lsq_loss_soa)
 
 LANES = 128
 _PAD = 16  # output lanes used: 1 loss + 8 grads
@@ -44,12 +45,18 @@ def _recip_nr(x):
     return r * (2.0 - x * r)
 
 
-def _kernel_hand(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
-    """Hand-written adjoint (soa.ggx_lsq_fwdbwd_soa): every backward
-    term reuses a forward register — no VJP recompute."""
+_FWDBWD = {"ggx": ggx_lsq_fwdbwd_soa, "beck": beckmann_lsq_fwdbwd_soa}
+
+
+def _kernel_hand(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref,
+                 *, family="ggx"):
+    """Hand-written adjoint (soa.*_lsq_fwdbwd_soa): every backward
+    term reuses a forward register — no VJP recompute. ``family``
+    selects GGX or Beckmann (the reference treats the two fits as
+    co-equal, dj_brdf.h:3133-3184)."""
     pvec = pvec_ref[0, :8]
     data = tuple(r[:] for r in (ix, iy, iz, ox, oy, oz, tr, tg, tb))
-    val, grad = ggx_lsq_fwdbwd_soa(pvec, *data, recip=_recip_nr)
+    val, grad = _FWDBWD[family](pvec, *data, recip=_recip_nr)
     _emit(out_ref, val, grad)
 
 
@@ -70,18 +77,20 @@ def _kernel_ad(pvec_ref, ix, iy, iz, ox, oy, oz, tr, tg, tb, out_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "interpret", "n_valid",
-                                    "adjoint"))
+                                    "adjoint", "family"))
 def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
                            block_rows: int = 128, interpret: bool = False,
                            n_valid: int | None = None,
-                           adjoint: str = "hand"):
-    """Returns (loss, grad(8,)) for the relative-L2 GGX+Schlick fit.
+                           adjoint: str = "hand", family: str = "ggx"):
+    """Returns (loss, grad(8,)) for the relative-L2 microfacet+Schlick
+    fit (``family``: "ggx" or "beck" — the reference's co-equal fit
+    pair, dj_brdf.h:3133-3184).
 
     Inputs are flat f32 arrays whose size must be a multiple of
     128*block_rows (pad with zero-contribution samples if needed; see
     :func:`pad_to_block`, and pass the true count as ``n_valid``).
     ``adjoint`` selects the in-kernel backward: "hand" (analytic,
-    default) or "ad" (jax.vjp cross-check)."""
+    default) or "ad" (jax.vjp cross-check, GGX only)."""
     n = ix.size
     rows = n // LANES
     assert rows * LANES == n and rows % block_rows == 0, (n, block_rows)
@@ -99,7 +108,8 @@ def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
                               memory_space=pltpu.VMEM)] * 9
 
     partials = pl.pallas_call(
-        _kernel_hand if adjoint == "hand" else _kernel_ad,
+        (functools.partial(_kernel_hand, family=family)
+         if adjoint == "hand" else _kernel_ad),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((8, LANES), lambda g: (g, 0),
@@ -115,12 +125,13 @@ def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "interpret", "n_valid",
-                                    "mean_over_materials"))
+                                    "mean_over_materials", "family"))
 def ggx_lsq_value_and_grad_batched(pvecs, ix, iy, iz, ox, oy, oz,
                                    tr, tg, tb, block_rows: int = 128,
                                    interpret: bool = False,
                                    n_valid: int | None = None,
-                                   mean_over_materials: bool = False):
+                                   mean_over_materials: bool = False,
+                                   family: str = "ggx"):
     """Batched (per-material) fused fit step: one kernel launch fits M
     materials against a SHARED direction set — the device form of the
     reference's per-file loop (examples/merl_params.cpp:53-68).
@@ -164,7 +175,7 @@ def ggx_lsq_value_and_grad_batched(pvecs, ix, iy, iz, ox, oy, oz,
         memory_space=pltpu.VMEM)] * 3
 
     partials = pl.pallas_call(
-        _kernel_hand,
+        functools.partial(_kernel_hand, family=family),
         grid=(grid_n, m),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((8, LANES),

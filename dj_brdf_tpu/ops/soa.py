@@ -19,18 +19,23 @@ import jax
 import jax.numpy as jnp
 
 
-def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz, with_pdf: bool = False):
+def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz, with_pdf: bool = False,
+                  fresnel_fn=None):
     """GGX+Schlick evalp on component arrays.
 
     ``pvec``: (8,) = [ax, ay, rho, txn, tyn, f0r, f0g, f0b] (already in
-    constrained space). Returns (r, g, b) component arrays; with
-    ``with_pdf`` also the VNDF sampler's density D/(4 sigma(o)) at
-    (i, o) (reference microfacet::pdf, dj_brdf.h:1713-1730) — the MIS
-    counter-pdf for envmap next-event estimation, nearly free here
-    because D and sigma(o) are already in registers."""
+    constrained space); rows broadcast, so (8, N) carries per-sample
+    parameters (textured roughness). Returns (r, g, b) component
+    arrays; with ``with_pdf`` also the VNDF sampler's density
+    D/(4 sigma(o)) at (i, o) (reference microfacet::pdf,
+    dj_brdf.h:1713-1730) — the MIS counter-pdf for envmap next-event
+    estimation, nearly free here because D and sigma(o) are already in
+    registers. ``fresnel_fn(cos_d) -> (Fr, Fg, Fb)`` overrides the
+    Schlick-from-pvec Fresnel (conductor materials)."""
     ax, ay, rho = pvec[0], pvec[1], pvec[2]
     txn, tyn = pvec[3], pvec[4]
-    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    if fresnel_fn is None:
+        f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
     s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     # scalar reciprocals hoisted out of the per-element chain
     inv_ax = 1.0 / ax
@@ -81,11 +86,22 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz, with_pdf: bool = False):
     oz4 = 4.0 * oz
     base = jnp.where((g > 0) & (jnp.abs(oz4) >= 1e-12),
                      d * g / jnp.where(jnp.abs(oz4) < 1e-12, 1.0, oz4), 0.0)
-    r = (f0r + c5 * (1.0 - f0r)) * base
-    gg = (f0g + c5 * (1.0 - f0g)) * base
-    b = (f0b + c5 * (1.0 - f0b)) * base
+    if fresnel_fn is None:
+        Fr = f0r + c5 * (1.0 - f0r)
+        Fg = f0g + c5 * (1.0 - f0g)
+        Fb = f0b + c5 * (1.0 - f0b)
+    else:
+        Fr, Fg, Fb = fresnel_fn(cosd)
+    r = Fr * base
+    gg = Fg * base
+    b = Fb * base
     if with_pdf:
-        okp = (co > 0) & (so > 1e-12) & (iz > 0)
+        # gates match the sampler's own pdf output (evalp_is): a lane
+        # where the VNDF sampler would report pdf 0 (receiver below
+        # the warped horizon or Smith-G gated) must also see counter-
+        # pdf 0, or the two MIS strategies' weights stop summing to 1
+        # at those edge lanes (ADVICE r4)
+        okp = (co > 0) & (so > 1e-12) & (iz > 0) & (g > 0)
         pdf = jnp.where(okp,
                         0.25 * d / jnp.where(okp, so, 1.0), 0.0)
         return r, gg, b, pdf
@@ -93,19 +109,20 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz, with_pdf: bool = False):
 
 
 def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz,
-                       with_pdf: bool = False):
+                       with_pdf: bool = False, fresnel_fn=None):
     """Beckmann+Schlick evalp on component arrays — the Beckmann
     counterpart of :func:`ggx_evalp_soa` (reference F*D*G/(4 o.z),
     dj_brdf.h:1529-1547, with the erf-based sigma_std 1871-1879 and
     Gaussian p22 1866-1869). ``pvec`` rows broadcast: pass (8,) for a
     uniform material or (8, N) for per-sample parameters. ``with_pdf``
-    as in :func:`ggx_evalp_soa`."""
+    and ``fresnel_fn`` as in :func:`ggx_evalp_soa`."""
     from dj_brdf_tpu.core.special import erf
 
     sqrt_pi_inv = 0.5641895835477563
     ax, ay, rho = pvec[0], pvec[1], pvec[2]
     txn, tyn = pvec[3], pvec[4]
-    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    if fresnel_fn is None:
+        f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
     s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     inv_ax = 1.0 / ax
     inv_axays = 1.0 / (ax * ay * s)
@@ -162,11 +179,18 @@ def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz,
     oz4 = 4.0 * oz
     base = jnp.where((g > 0) & (jnp.abs(oz4) >= 1e-12),
                      d * g / jnp.where(jnp.abs(oz4) < 1e-12, 1.0, oz4), 0.0)
-    r = (f0r + c5 * (1.0 - f0r)) * base
-    gg = (f0g + c5 * (1.0 - f0g)) * base
-    b = (f0b + c5 * (1.0 - f0b)) * base
+    if fresnel_fn is None:
+        Fr = f0r + c5 * (1.0 - f0r)
+        Fg = f0g + c5 * (1.0 - f0g)
+        Fb = f0b + c5 * (1.0 - f0b)
+    else:
+        Fr, Fg, Fb = fresnel_fn(cosd)
+    r = Fr * base
+    gg = Fg * base
+    b = Fb * base
     if with_pdf:
-        okp = (co > 0) & (so > 1e-12) & (iz > 0)
+        # same sampler-matched gating as ggx_evalp_soa (ADVICE r4)
+        okp = (co > 0) & (so > 1e-12) & (iz > 0) & (g > 0)
         pdf = jnp.where(okp,
                         0.25 * d / jnp.where(okp, so, 1.0), 0.0)
         return r, gg, b, pdf
@@ -191,6 +215,16 @@ def ggx_lsq_loss_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
     """Relative-L2 fitting loss on component arrays (mean over samples
     and channels, matching fit.lsq.relative_l2)."""
     r, g, b = ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz)
+    lr = (r - tr) / (tr + eps)
+    lg = (g - tg) / (tg + eps)
+    lb = (b - tb) / (tb + eps)
+    return (jnp.mean(lr * lr) + jnp.mean(lg * lg) + jnp.mean(lb * lb)) / 3.0
+
+
+def beckmann_lsq_loss_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
+                          eps: float = 1e-2):
+    """Beckmann counterpart of :func:`ggx_lsq_loss_soa`."""
+    r, g, b = beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz)
     lr = (r - tr) / (tr + eps)
     lg = (g - tg) / (tg + eps)
     lb = (b - tb) / (tb + eps)
@@ -469,7 +503,8 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
 def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
                            recip=None, caps: bool = False,
                            with_nee: bool = True,
-                           with_nee_pdf: bool = False):
+                           with_nee_pdf: bool = False,
+                           fresnel_fn=None):
     """Dual-family fused NEE evalp + VNDF sample + IS weight for
     per-ray GGX/Beckmann dispatch — the mixed-material path tracer
     kernel (VERDICT r2 weak #3).
@@ -495,7 +530,9 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     out directly in the standard frame, skipping the qf2/qf3
     rationals). ``with_nee=False`` skips the NEE chunk and returns
     the 7-tuple (wr, wg, wb, ix, iy, iz, pdf) only (the path tracer's
-    spp-deduplicated first bounce computes NEE once per pixel)."""
+    spp-deduplicated first bounce computes NEE once per pixel).
+    ``fresnel_fn(cos_d) -> (Fr, Fg, Fb)`` overrides Schlick-from-pvec
+    (per-lane conductor/Schlick mixes close over their own masks)."""
     from dj_brdf_tpu.core.special import erf, erfinv
     from dj_brdf_tpu.microfacet.ndf import GGX as _GGX
     from dj_brdf_tpu.microfacet.ndf import beckmann_qf2_slope_domain
@@ -505,7 +542,8 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     sqrt_pi_inv = 0.5641895835477563
     ax, ay, rho = pvec[0], pvec[1], pvec[2]
     txn, tyn = pvec[3], pvec[4]
-    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+    if fresnel_fn is None:
+        f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
     s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     inv_ax = 1.0 / ax
     inv_axays = 1.0 / (ax * ay * s)
@@ -553,6 +591,8 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         return jnp.where(ok, tmp * recip(jnp.where(ok, den, 1.0)), 0.0)
 
     def schlick(cosd):
+        if fresnel_fn is not None:
+            return fresnel_fn(cosd)
         c1 = 1.0 - cosd
         c2 = c1 * c1
         c5 = c2 * c2 * c1
@@ -595,9 +635,13 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         if with_nee_pdf:
             # VNDF sampler density at the light direction (the MIS
             # counter-pdf): D(h)/(4 sigma(o)), dj_brdf.h:1713-1730 —
-            # d_nee and sigma(o) are already in registers
+            # d_nee and sigma(o) are already in registers. The g_nee
+            # gate mirrors the sampler's own pdf gating (evalp_is
+            # zeroes pdf at Smith-G-gated lanes), keeping the two MIS
+            # strategies' weights summing to 1 at edge lanes
+            # (ADVICE r4)
             okp = ((c_o > 0) & (jnp.abs(sig_o) >= 1e-12)
-                   & valid_h & (lz > 0))
+                   & valid_h & (lz > 0) & (g_nee > 0))
             pdf_nee = jnp.where(
                 okp, 0.25 * d_nee * recip(jnp.where(okp, sig_o, 1.0)),
                 0.0)
@@ -814,6 +858,180 @@ def ggx_lsq_fwdbwd_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
     # --- D path: dD/dp = D * (-dlog(ax ay s)/dp - 2 dt1/dp / t1)
     S = gd * d
     q4 = 4.0 * inv_t1
+    d_ax = S * inv_ax * (q4 * (u * u - y_ * rho * u * inv_s) - 1.0)
+    d_ay = S * inv_ay * (q4 * y_ * v * inv_s - 1.0)
+    d_rho = S * (rho * (inv_s * inv_s)
+                 - q4 * y_ * (y_ * rho * (inv_s * inv_s) - u * inv_s))
+    d_tx = S * q4 * inv_ax * (u - y_ * rho * inv_s)
+    d_ty = S * q4 * inv_ay * inv_s * y_
+
+    grad = jnp.stack([
+        jnp.sum(ax_i + ax_o + d_ax),
+        jnp.sum(ay_i + ay_o + d_ay),
+        jnp.sum(rho_i + rho_o + d_rho),
+        jnp.sum(tx_i + tx_o + d_tx),
+        jnp.sum(ty_i + ty_o + d_ty),
+        g_f0r, g_f0g, g_f0b,
+    ])
+    return loss_sum, grad
+
+
+def beckmann_lsq_fwdbwd_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
+                            eps: float = 1e-2, recip=None):
+    """Hand-written forward + adjoint of the Beckmann fitting loss —
+    the Beckmann half of the reference's co-equal fit pair
+    (fit_beckmann_parameters dj_brdf.h:3133-3158; evalp chain
+    1529-1547 with the erf sigma 1866-1879). Same contract as
+    :func:`ggx_lsq_fwdbwd_soa`: ``(loss_sum, grad(8,))`` with every
+    backward term reusing a forward register.
+
+    The two derivative novelties vs the GGX adjoint:
+
+    * D path: Gaussian p22 means dlogD/dr^2 = -1 (vs -2/(1+r^2)), so
+      the identical slope-chain code runs with the constant q4 = 2 in
+      place of GGX's 4/(1+r^2).
+    * sigma path: sigma = |warp(k)| * f(c_std) with
+      f = sigma_std_beckmann; f'(t) = (1+erf nu)/2 - nu e^{-nu^2} /
+      (2 sqrt(pi)) (nu = cot theta) — both transcendentals are the
+      forward's own erf/exp terms, so the backward adds zero
+      transcendental cost.
+    """
+    from dj_brdf_tpu.core.special import erf
+
+    if recip is None:
+        recip = lambda x: 1.0 / x
+    sqrt_pi_inv = 0.5641895835477563
+    ax, ay, rho = pvec[0], pvec[1], pvec[2]
+    txn, tyn = pvec[3], pvec[4]
+    f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
+
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    inv_ax = 1.0 / ax
+    inv_ay = 1.0 / ay
+    inv_s = 1.0 / s
+    inv_axays = inv_ax * inv_ay * inv_s
+    ay_rho = ay * rho
+    ay_s = ay * s
+
+    hx, hy, hz = ix + ox, iy + oy, iz + oz
+    hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+    hx, hy, hz = hx * hn, hy * hn, hz * hn
+
+    def sigma(kx, ky, kz):
+        a = kx * ax + ky * ay_rho
+        b = ky * ay_s
+        c = kz - kx * txn - ky * tyn
+        q = a * a + b * b + c * c
+        inv_nrm = jax.lax.rsqrt(jnp.maximum(q, 1e-24))
+        nrm = q * inv_nrm
+        c_std = c * inv_nrm
+        sin2 = jnp.maximum(1.0 - c_std * c_std, 0.0)
+        sin_k = jnp.sqrt(sin2)
+        nu = c_std * recip(jnp.maximum(sin_k, 1e-12))
+        erf_nu = erf(nu)
+        e_nu2 = jnp.exp(-nu * nu)
+        half_1pe = 0.5 * (1.0 + erf_nu)
+        f = c_std * half_1pe + 0.5 * sin_k * e_nu2 * sqrt_pi_inv
+        f = jnp.where(c_std >= 1.0, 1.0, f)
+        # f'(c_std); ->1 smoothly at normal incidence, 0 on the
+        # guarded branch's interior is never hit (|c_std| <= 1)
+        fp = half_1pe - 0.5 * nu * e_nu2 * sqrt_pi_inv
+        return nrm * f, a, b, c, inv_nrm, c_std, sin2, f, fp
+
+    (si, a_i, b_i, c_i, inrm_i, cstd_i, sin2_i, f_i, fp_i) = sigma(
+        ix, iy, iz)
+    (so, a_o, b_o, c_o, inrm_o, cstd_o, sin2_o, f_o, fp_o) = sigma(
+        ox, oy, oz)
+    ok_i = (c_i > 0) & (jnp.abs(si) >= 1e-12)
+    ok_o = (c_o > 0) & (jnp.abs(so) >= 1e-12)
+    inv_si = jnp.where(ok_i, recip(jnp.where(ok_i, si, 1.0)), 0.0)
+    inv_so = jnp.where(ok_o, recip(jnp.where(ok_o, so, 1.0)), 0.0)
+    g1i = iz * inv_si
+    g1o = oz * inv_so
+    tmp = g1i * g1o
+    den = g1i + g1o - tmp
+    ok_g = (tmp > 0) & (jnp.abs(den) >= 1e-12)
+    inv_den = jnp.where(ok_g, recip(jnp.where(ok_g, den, 1.0)), 0.0)
+    g = tmp * inv_den
+
+    valid_h = hz > 1e-4
+    inv_hz = recip(jnp.where(valid_h, hz, 1.0))
+    sx = -hx * inv_hz - txn
+    sy = -hy * inv_hz - tyn
+    u = sx * inv_ax
+    v = sy * inv_ay
+    y_ = (v - rho * u) * inv_s
+    r2 = u * u + y_ * y_
+    inv_hz2 = inv_hz * inv_hz
+    d = jnp.where(valid_h,
+                  ((1.0 / jnp.pi) * inv_axays) * (inv_hz2 * inv_hz2)
+                  * jnp.exp(-r2), 0.0)
+
+    cosd = jnp.clip(ox * hx + oy * hy + oz * hz, 0.0, 1.0)
+    c1 = 1.0 - cosd
+    c2 = c1 * c1
+    c5 = c2 * c2 * c1
+
+    oz4 = 4.0 * oz
+    ok_b = (g > 0) & (jnp.abs(oz4) >= 1e-12)
+    inv_oz4 = jnp.where(ok_b, recip(jnp.where(ok_b, oz4, 1.0)), 0.0)
+    base = d * g * inv_oz4
+
+    # --- loss + upstream weights (identical to the GGX adjoint)
+    third = jnp.float32(1.0 / 3.0)
+    inv_tr = recip(tr + eps)
+    inv_tg = recip(tg + eps)
+    inv_tb = recip(tb + eps)
+    Fr = f0r + c5 * (1.0 - f0r)
+    Fg = f0g + c5 * (1.0 - f0g)
+    Fb = f0b + c5 * (1.0 - f0b)
+    rr = (Fr * base - tr) * inv_tr
+    rg = (Fg * base - tg) * inv_tg
+    rb = (Fb * base - tb) * inv_tb
+    loss_sum = third * jnp.sum(rr * rr + rg * rg + rb * rb)
+
+    wr = (2.0 * third) * rr * inv_tr
+    wg = (2.0 * third) * rg * inv_tg
+    wb = (2.0 * third) * rb * inv_tb
+
+    one_m_c5_base = (1.0 - c5) * base
+    g_f0r = jnp.sum(wr * one_m_c5_base)
+    g_f0g = jnp.sum(wg * one_m_c5_base)
+    g_f0b = jnp.sum(wb * one_m_c5_base)
+
+    gbase = wr * Fr + wg * Fg + wb * Fb
+    gd = gbase * g * inv_oz4
+    gg = gbase * d * inv_oz4
+
+    # --- G path (same structure as GGX)
+    gG1i = gg * (g1o * inv_den) ** 2
+    gG1o = gg * (g1i * inv_den) ** 2
+    gsig_i = -gG1i * g1i * inv_si
+    gsig_o = -gG1o * g1o * inv_so
+
+    def sigma_bwd(gsig, a, b, c, inv_nrm, c_std, sin2, f, fp, kx, ky):
+        # sigma = nrm * f(c/nrm):
+        #   d/da = (a/nrm)(f - f' c_std);  d/db likewise;
+        #   d/dc = c_std f + f' sin^2
+        rad = f - fp * c_std
+        da = gsig * a * inv_nrm * rad
+        db = gsig * b * inv_nrm * rad
+        dc = gsig * (c_std * f + fp * sin2)
+        gax = da * kx
+        gay = ky * (da * rho + db * s)
+        grho = ky * ay * (da - db * rho * inv_s)
+        gtx = -dc * kx
+        gty = -dc * ky
+        return gax, gay, grho, gtx, gty
+
+    ax_i, ay_i, rho_i, tx_i, ty_i = sigma_bwd(
+        gsig_i, a_i, b_i, c_i, inrm_i, cstd_i, sin2_i, f_i, fp_i, ix, iy)
+    ax_o, ay_o, rho_o, tx_o, ty_o = sigma_bwd(
+        gsig_o, a_o, b_o, c_o, inrm_o, cstd_o, sin2_o, f_o, fp_o, ox, oy)
+
+    # --- D path: Gaussian p22 -> q4 = 2 (dlogD/dr^2 = -1)
+    S = gd * d
+    q4 = 2.0
     d_ax = S * inv_ax * (q4 * (u * u - y_ * rho * u * inv_s) - 1.0)
     d_ay = S * inv_ay * (q4 * y_ * v * inv_s - 1.0)
     d_rho = S * (rho * (inv_s * inv_s)

@@ -1,22 +1,24 @@
 """Environment-map (image-based) lighting for the path tracer.
 
 The reference's Mitsuba scenes (the matpreview setup its LEAN maps
-ship for, mitsuba/README) are lit by lat-long environment emitters;
-Mitsuba importance-samples the emitter image and combines emitter and
-BSDF sampling with multiple importance sampling. This module is the
-TPU-native equivalent: a lat-long radiance table with the classic
-two-level piecewise-constant importance scheme — a marginal CDF over
-rows (sin-theta weighted) and a conditional CDF per row — built once
-on device, sampled with vectorized compare-reduce searches (no
-data-dependent control flow; tables are pytree leaves passed through
-jit).
+ship for, mitsuba/README:21-23) are lit by lat-long environment
+emitters; Mitsuba importance-samples the emitter image and combines
+emitter and BSDF sampling with multiple importance sampling. This
+module is the TPU-native equivalent, built for production-resolution
+maps (1024x2048 and up):
 
-TPU cost model (the gather rules of DESIGN.md §6): radiance + pdf at
-a direction is ONE issued row gather from a corner-packed (H*W, 16)
-layout — 4 bilinear corner texels and their 4 pdf bins — and an
-importance sample costs one (W,) row gather for the conditional CDF;
-everything else (both CDF searches, the marginal quantities, the
-sample's own pdf) is gather-free compare-reduce arithmetic.
+* **O(1) alias-table sampling** (Walker/Vose): one draw costs ONE
+  gather of a 4-wide alias row — no CDF searches, no O(H+W) compare
+  tensors, memory per ray is O(1) at any map resolution. The table is
+  built once on the host at scene load (native C, ~0.1 s for 2M bins;
+  Mitsuba likewise builds its emitter CDFs host-side at scene load).
+* **One-gather radiance+pdf queries**: radiance toward a direction is
+  one row gather from a corner-packed (H*W, 16) layout — 4 bilinear
+  corner texels plus their 4 pdf bins — so an eval-with-pdf (the MIS
+  path) is a single issued gather.
+* **Orientation**: an optional ``rot`` (3x3 to-world rotation) matches
+  the reference scenes' emitter transforms; directions rotate in
+  sample/eval, tables stay in the emitter's local frame.
 
 Conventions: row j covers theta in [j, j+1] * pi/H (z-up; theta=0 is
 +z), column i covers phi in [i, i+1] * 2pi/W, dir = (sin t cos p,
@@ -24,97 +26,201 @@ sin t sin p, cos t). The sampler is exact for its own piecewise-
 constant density: pdf values are the true sampling density over solid
 angle (bin mass / (bin angle area * sin theta)), so dividing by them
 is unbiased and MIS weights can use them directly.
+
+Differentiation: ``build`` runs on the host (concrete arrays only —
+the tunneled TPU platform has no host-callback support, and alias
+construction is inherently sequential). For inverse lighting,
+:meth:`EnvMap.rebind` swaps in a differentiable radiance under the
+FROZEN sampling structure — the standard detached-sampler estimator:
+gradients flow through every radiance evaluation, while the proposal
+density (which only shapes variance, not the expectation) stays
+constant. Rendering remains unbiased because the reported pdfs always
+describe the sampler actually drawn from.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dj_brdf_tpu.core.pytree import pytree_dataclass
 
 
+def _build_alias_np(mass: np.ndarray):
+    """Pure-numpy Vose fallback (native: io.native.build_alias)."""
+    mass = np.asarray(mass, np.float64).reshape(-1)
+    n = mass.size
+    p = mass / mass.sum() * n
+    prob = np.ones(n, np.float32)
+    alias = np.arange(n, dtype=np.int32)
+    small = list(np.nonzero(p < 1.0)[0])
+    large = list(np.nonzero(p >= 1.0)[0])
+    while small and large:
+        s = small.pop()
+        ell = large.pop()
+        prob[s] = p[s]
+        alias[s] = ell
+        p[ell] -= 1.0 - p[s]
+        (small if p[ell] < 1.0 else large).append(ell)
+    return prob, alias
+
+
+def _pack_radiance_corners(radiance):
+    """(H, W, 3) -> (H*W, 12): the 4 bilinear corner texels of each
+    BASE cell (j, i): centers (j, i), (j, i+1 wrap), (j+1 clamp, i),
+    (j+1 clamp, i+1 wrap). Traceable (reused by rebind)."""
+    h, w, c = radiance.shape
+    x01 = jnp.roll(radiance, -1, axis=1)
+    down = jnp.concatenate([radiance[1:], radiance[-1:]], axis=0)
+    d01 = jnp.roll(down, -1, axis=1)
+    return jnp.concatenate([radiance, x01, down, d01], -1) \
+        .reshape(h * w, 4 * c)
+
+
 @pytree_dataclass
 class EnvMap:
-    """Lat-long environment light with two-level importance tables."""
+    """Lat-long environment light with O(1) alias importance tables."""
 
     radiance: jnp.ndarray   # (H, W, 3)
-    row_cdf: jnp.ndarray    # (H,)    inclusive cumulative row masses
-    row_mass: jnp.ndarray   # (H,)
-    col_cdf: jnp.ndarray    # (H, W)  inclusive cumulative per-row
-    packed: jnp.ndarray     # (H*W, 16) per BASE cell: 4 bilinear
-    #                         corner texels (12) + their 4 pdf bins
+    packed: jnp.ndarray     # (H*W, 16) 4 bilinear radiance corners
+    #                         (12) + the 4 corners' pdf bins (4)
+    alias: jnp.ndarray      # (H*W, 4) [prob, alias_idx, pb_self,
+    #                         pb_alias]; pb = bin mass/(dtheta*dphi)
+    rot: jnp.ndarray | None = None  # optional (3,3) to-world rotation
 
     @classmethod
-    def build(cls, radiance):
-        """Precompute the sampling tables from an (H, W, 3) lat-long
-        radiance image (values >= 0)."""
+    def build(cls, radiance, rotation=None):
+        """Precompute sampling tables from an (H, W, 3) lat-long
+        radiance image (values >= 0). Host-side, scene-load-time work
+        (concrete arrays only): the alias construction is O(H*W)
+        native C. For differentiable radiance under a frozen sampler
+        (inverse lighting) see :meth:`rebind`."""
+        if isinstance(radiance, jax.core.Tracer):
+            raise TypeError(
+                "EnvMap.build needs concrete radiance (host-side alias "
+                "construction); build once outside jit/grad, then use "
+                "EnvMap.rebind(radiance) for differentiable updates")
         radiance = jnp.asarray(radiance, jnp.float32)
         h, w = radiance.shape[:2]
-        lum = jnp.maximum(radiance, 0.0).mean(-1) + 1e-12
-        sin_rows = jnp.sin((jnp.arange(h, dtype=jnp.float32) + 0.5)
-                           * (jnp.pi / h))
+        rad_np = np.asarray(radiance)
+        lum = np.maximum(rad_np, 0.0).mean(-1) + 1e-12
+        sin_rows = np.sin((np.arange(h) + 0.5) * (np.pi / h))
         mass = lum * sin_rows[:, None]
-        mass = mass / mass.sum()                 # (H, W), sums to 1
-        row_mass = mass.sum(-1)                  # (H,)
-        row_cdf = jnp.cumsum(row_mass)
-        col_mass = mass / row_mass[:, None]
-        col_cdf = jnp.cumsum(col_mass, axis=-1)
-        dtheta = jnp.pi / h
-        dphi = 2.0 * jnp.pi / w
-        pdf_bins = mass / (dtheta * dphi)
+        mass = mass / mass.sum()                     # (H, W), sums to 1
+        pb = (mass / ((np.pi / h) * (2.0 * np.pi / w))).astype(np.float32)
 
-        # corner packing anchored at the bilinear BASE cell (j, i):
-        # corners are centers (j, i), (j, i+1 wrap), (j+1 clamp, i),
-        # (j+1 clamp, i+1 wrap). The direction's pdf bin is always one
-        # of the same 4 corners (selected by the half-cell bits), so
-        # its density rides in the same gathered row.
-        def corners(x):
-            x01 = jnp.roll(x, -1, axis=1)
-            down = jnp.concatenate([x[1:], x[-1:]], axis=0)
-            return x, x01, down, jnp.roll(down, -1, axis=1)
+        try:
+            from dj_brdf_tpu.io import native
+            prob, alias_idx = native.build_alias(mass)
+        except Exception:
+            prob, alias_idx = _build_alias_np(mass)
+        pb_flat = pb.reshape(-1)
+        alias_tab = jnp.asarray(np.stack(
+            [prob, alias_idx.astype(np.float32),
+             pb_flat, pb_flat[alias_idx]], -1))
 
-        r00, r01, r10, r11 = corners(radiance)
-        p00, p01, p10, p11 = corners(pdf_bins[..., None])
+        pdf_corners = _pack_radiance_corners(
+            jnp.asarray(pb)[..., None])              # (H*W, 4)
         packed = jnp.concatenate(
-            [r00, r01, r10, r11, p00, p01, p10, p11], -1
-        ).reshape(h * w, 16)
-        # pdf_bins is consumed only by the packing above — the render
-        # loops read densities from `packed`, so it is not a field
-        return cls(radiance=radiance, row_cdf=row_cdf,
-                   row_mass=row_mass, col_cdf=col_cdf, packed=packed)
+            [_pack_radiance_corners(radiance), pdf_corners], -1)
+        if rotation is not None:
+            rotation = jnp.asarray(rotation, jnp.float32)
+        return cls(radiance=radiance, packed=packed, alias=alias_tab,
+                   rot=rotation)
 
-    # -- queries -------------------------------------------------------
-    def eval_with_pdf(self, dx, dy, dz):
-        """(r, g, b, pdf) toward a direction with ONE issued row
-        gather: bilinear radiance (periodic in phi, clamped in theta)
-        plus the exact binned sampling density."""
+    def rebind(self, radiance):
+        """Return an EnvMap whose radiance (and packed radiance
+        corners) are ``radiance`` — traceable and differentiable —
+        while the sampling structure (alias table and pdf bins) stays
+        frozen at build time. The detached-sampler form of inverse
+        lighting: still unbiased (pdfs describe the actual sampler),
+        gradients flow through every radiance evaluation."""
+        radiance = jnp.asarray(radiance, jnp.float32)
+        packed = jnp.concatenate(
+            [_pack_radiance_corners(radiance),
+             jax.lax.stop_gradient(self.packed[:, 12:])], -1)
+        return self.replace(radiance=radiance, packed=packed)
+
+    @staticmethod
+    def rotation_z(angle):
+        """(3,3) rotation about +z by ``angle`` radians (the common
+        lat-long emitter orientation control)."""
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        return jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                           jnp.float32)
+
+    # -- frames --------------------------------------------------------
+    def _to_local(self, dx, dy, dz):
+        if self.rot is None:
+            return dx, dy, dz
+        r = self.rot
+        return (r[0, 0] * dx + r[1, 0] * dy + r[2, 0] * dz,
+                r[0, 1] * dx + r[1, 1] * dy + r[2, 1] * dz,
+                r[0, 2] * dx + r[1, 2] * dy + r[2, 2] * dz)
+
+    def _to_world(self, dx, dy, dz):
+        if self.rot is None:
+            return dx, dy, dz
+        r = self.rot
+        return (r[0, 0] * dx + r[0, 1] * dy + r[0, 2] * dz,
+                r[1, 0] * dx + r[1, 1] * dy + r[1, 2] * dz,
+                r[2, 0] * dx + r[2, 1] * dy + r[2, 2] * dz)
+
+    # -- cells ---------------------------------------------------------
+    def _cell_from_grid(self, tg, pg):
+        """Base-cell row index + bilinear fractions from LOCAL grid
+        coordinates (tg = theta*H/pi in [0,H], pg = phi*W/2pi) —
+        trig-free (the sampler knows its grid position exactly)."""
         h, w = self.radiance.shape[:2]
-        theta = jnp.arccos(jnp.clip(dz, -1.0, 1.0))
-        phi = jnp.arctan2(dy, dx)
-        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
-        t1 = jnp.clip(theta * (h / jnp.pi) - 0.5, 0.0, h - 1.0)
-        t2 = phi * (w / (2.0 * jnp.pi)) - 0.5
+        t1 = jnp.clip(tg - 0.5, 0.0, h - 1.0)
+        t2 = pg - 0.5
         j0 = jnp.minimum(jnp.floor(t1).astype(jnp.int32), h - 1)
         i0f = jnp.floor(t2)
         f1 = t1 - j0
         f2 = t2 - i0f
         i0 = jnp.mod(i0f.astype(jnp.int32), w)
+        return j0 * w + i0, f1, f2
 
-        row = jnp.take(self.packed, j0 * w + i0, axis=0)      # (..., 16)
+    def _cell(self, lx, ly, lz):
+        """Cell of a LOCAL direction; also returns its floored
+        sin(theta) (shared by all pdf paths — one pole floor
+        everywhere, so the sampler's pdf and the MIS-side pdf agree
+        at the poles)."""
+        h, w = self.radiance.shape[:2]
+        theta = jnp.arccos(jnp.clip(lz, -1.0, 1.0))
+        phi = jnp.arctan2(ly, lx)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        idx, f1, f2 = self._cell_from_grid(theta * (h / jnp.pi),
+                                           phi * (w / (2.0 * jnp.pi)))
+        sin_t = jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - lz * lz, 0.0)),
+                            1e-6)
+        return idx, f1, f2, sin_t
+
+    def _lookup(self, idx, f1, f2):
+        """ONE issued row gather: bilinear radiance (periodic in phi,
+        clamped in theta) + the direction's exact pdf bin (the
+        unshifted-grid bin is always one of the 4 packed corners,
+        selected by the half-cell bits)."""
+        row = jnp.take(self.packed, idx, axis=0)            # (..., 16)
         f1e = f1[..., None]
         f2e = f2[..., None]
         a = row[..., 0:3] + f2e * (row[..., 3:6] - row[..., 0:3])
         b = row[..., 6:9] + f2e * (row[..., 9:12] - row[..., 6:9])
         rgb = a + f1e * (b - a)
-
-        # the true pdf bin (unshifted grid) is corner (f1>=0.5,
-        # f2>=0.5) of this base cell
         hi1 = f1 >= 0.5
         hi2 = f2 >= 0.5
         pb = jnp.where(hi1, jnp.where(hi2, row[..., 15], row[..., 14]),
                        jnp.where(hi2, row[..., 13], row[..., 12]))
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - dz * dz, 1e-8))
-        return rgb[..., 0], rgb[..., 1], rgb[..., 2], pb / sin_t
+        return rgb[..., 0], rgb[..., 1], rgb[..., 2], pb
+
+    # -- queries -------------------------------------------------------
+    def eval_with_pdf(self, dx, dy, dz):
+        """(r, g, b, pdf) toward a WORLD direction: one row gather."""
+        lx, ly, lz = self._to_local(dx, dy, dz)
+        idx, f1, f2, sin_t = self._cell(lx, ly, lz)
+        r, g, b, pb = self._lookup(idx, f1, f2)
+        return r, g, b, pb / sin_t
 
     def eval(self, dx, dy, dz):
         """Bilinear radiance only. Returns (r, g, b)."""
@@ -125,36 +231,53 @@ class EnvMap:
         """True sampling density over solid angle at a direction."""
         return self.eval_with_pdf(dx, dy, dz)[3]
 
-    def sample(self, u1, u2):
-        """Importance-sample a direction: returns (dx, dy, dz, pdf).
-        Two-level inverse CDF with in-bin uniform offsets; pdf is the
-        exact density the draw came from, assembled from the marginal
-        pieces already in registers (no pdf gather)."""
+    def sample_grid(self, u1, u2, u3):
+        """Alias draw: LOCAL grid coordinates (tg, pg) of an
+        importance-sampled direction plus its bin density pb — ONE
+        gather.
+
+        f32 bit budget (a single 24-bit uniform cannot select among
+        2M bins AND drive the accept test AND give in-bin offsets):
+        ``u1`` -> row index (exact-uniform; its sub-row fraction is
+        the Walker accept threshold, quantized to 2^-14 at H=1024 —
+        realized-vs-reported density error is O(2^-14) *relative to
+        the whole integral* because L/pdf is bounded by color ratios);
+        ``u2`` -> column index (its fraction is the phi in-bin
+        offset); ``u3`` -> theta in-bin offset at full precision."""
         h, w = self.radiance.shape[:2]
-        le_r = self.row_cdf <= u1[..., None]                  # (..., H)
-        j = jnp.clip(jnp.sum(le_r, axis=-1).astype(jnp.int32), 0, h - 1)
-        cdf_lo = jnp.sum(jnp.where(le_r, self.row_mass, 0.0), axis=-1)
-        rmass = jnp.sum(jnp.where(jnp.arange(h) == j[..., None],
-                                  self.row_mass, 0.0), axis=-1)
-        fr = (u1 - cdf_lo) / jnp.maximum(rmass, 1e-12)
-        theta = (j + jnp.clip(fr, 0.0, 1.0)) * (jnp.pi / h)
+        xr = jnp.clip(u1, 0.0, 1.0) * h
+        j_sel = jnp.minimum(xr.astype(jnp.int32), h - 1)
+        frac = xr - j_sel                        # accept threshold
+        xc = jnp.clip(u2, 0.0, 1.0) * w
+        i_sel = jnp.minimum(xc.astype(jnp.int32), w - 1)
+        fc = xc - i_sel                          # phi in-bin offset
+        idx = j_sel * w + i_sel                  # uniform over bins
 
-        col_cdf_rows = jnp.take(self.col_cdf, j, axis=0)      # (..., W)
-        le_c = col_cdf_rows <= u2[..., None]
-        i = jnp.clip(jnp.sum(le_c, axis=-1).astype(jnp.int32), 0, w - 1)
-        ccdf_hi = jnp.sum(jnp.where(jnp.arange(w) == i[..., None],
-                                    col_cdf_rows, 0.0), axis=-1)
-        ccdf_lo = jnp.max(jnp.where(le_c, col_cdf_rows, 0.0), axis=-1)
-        cmass = ccdf_hi - ccdf_lo
-        fc = (u2 - ccdf_lo) / jnp.maximum(cmass, 1e-12)
-        phi = (i + jnp.clip(fc, 0.0, 1.0)) * (2.0 * jnp.pi / w)
+        row = jnp.take(self.alias, idx, axis=0)             # (..., 4)
+        prob = row[..., 0]
+        take = frac < prob
+        bin_ = jnp.where(take, idx, row[..., 1].astype(jnp.int32))
+        pb = jnp.where(take, row[..., 2], row[..., 3])
+        j = bin_ // w
+        i = bin_ - j * w
+        fr = jnp.clip(u3, 0.0, 0.999999)
+        fc = jnp.clip(fc, 0.0, 0.999999)
+        return j + fr, i + fc, pb
 
+    def sample(self, u1, u2, u3):
+        """Importance-sample a WORLD direction: (dx, dy, dz, pdf).
+        One alias gather; the pdf is the exact density of the draw,
+        assembled from the alias row (no second gather)."""
+        h, w = self.radiance.shape[:2]
+        tg, pg, pb = self.sample_grid(u1, u2, u3)
+        theta = tg * (jnp.pi / h)
+        phi = pg * (2.0 * jnp.pi / w)
         sin_t = jnp.sin(theta)
-        dx = sin_t * jnp.cos(phi)
-        dy = sin_t * jnp.sin(phi)
-        dz = jnp.cos(theta)
-        pdf = (rmass * cmass) / ((jnp.pi / h) * (2.0 * jnp.pi / w)
-                                 * jnp.maximum(sin_t, 1e-6))
+        lx = sin_t * jnp.cos(phi)
+        ly = sin_t * jnp.sin(phi)
+        lz = jnp.cos(theta)
+        dx, dy, dz = self._to_world(lx, ly, lz)
+        pdf = pb / jnp.maximum(sin_t, 1e-6)
         return dx, dy, dz, pdf
 
 

@@ -99,6 +99,89 @@ class MicrofacetMaterial:
                 jnp.where(bad, 0.0, pdf))
 
 
+def _fetch_rows(packed, h, w, uu, vv):
+    """Nearest-texel row gather of a flat (H*W, k) packed texture at
+    normalized uv (the sample_texture convention; differentiable
+    w.r.t. the texels)."""
+    yi = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
+    return jnp.take(packed, yi * w + xi, axis=0)
+
+
+@pytree_dataclass
+class TexturedMicrofacetMaterial:
+    """The dj_brdf plugin's textured-roughness front-end for the path
+    tracer: alpha1/alpha2/alphaAngle are evaluated per shading point
+    *inside the bounce loop* (mitsuba/dj_brdf.cpp:353-357 fetches its
+    textures per-hit inside whatever Mitsuba integrator runs), so the
+    material composes with any transport — direct light, multi-bounce,
+    envmap MIS.
+
+    Each alpha leaf is a scalar or an (H, W) texture; all texture
+    leaves must share one shape so the per-hit fetch is ONE packed row
+    gather. Rendering goes through the fused SoA kernels, which take
+    per-ray (8, N) parameter vectors (ops/soa.py); gradients flow into
+    the texture leaves (inverse rendering of roughness maps)."""
+
+    dist: object                 # GGX-family or Beckmann
+    fres: object                 # Schlick
+    alpha1: jnp.ndarray
+    alpha2: jnp.ndarray
+    alpha_angle: jnp.ndarray
+
+    def _fused_family(self):
+        from dj_brdf_tpu import fresnel as _fres
+        from dj_brdf_tpu.microfacet.ndf import (GGX as _GGX,
+                                                Beckmann as _Beck,
+                                                GGXSphericalCaps as _Caps)
+        if not isinstance(self.fres, _fres.Schlick):
+            return None
+        if not (type(self.dist) is _Beck or isinstance(self.dist, _GGX)):
+            return None
+        fam = "beck" if type(self.dist) is _Beck else "ggx"
+        return fam, isinstance(self.dist, _Caps)
+
+    def pvec_provider(self):
+        """Closure ``(uu, vv) -> (8, N)``: fetch the textured alphas
+        at per-hit uv (one packed gather), convert the elliptic frame
+        to PDF parameters, append the Schlick f0. Texture packing
+        happens here, once per trace, so it stays out of the bounce
+        scan."""
+        leaves = [("a1", self.alpha1), ("a2", self.alpha2),
+                  ("ang", self.alpha_angle)]
+        texs = [(k, jnp.asarray(v, jnp.float32)) for k, v in leaves
+                if getattr(v, "ndim", 0) == 2]
+        shapes = {v.shape for _, v in texs}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"textured alpha maps must share one shape, got {shapes}")
+        packed = cols = h = w = None
+        if texs:
+            h, w = texs[0][1].shape
+            packed = jnp.stack([v for _, v in texs], -1).reshape(-1,
+                                                                 len(texs))
+            cols = {k: i for i, (k, _) in enumerate(texs)}
+        f0 = jnp.asarray(self.fres.f0, jnp.float32)
+
+        def pvec_at(uu, vv):
+            row = (_fetch_rows(packed, h, w, uu, vv)
+                   if packed is not None else None)
+
+            def get(key, leaf):
+                if cols is not None and key in cols:
+                    return row[..., cols[key]]
+                return jnp.asarray(leaf, jnp.float32)
+
+            p = MicrofacetParams.elliptic(get("a1", self.alpha1),
+                                          get("a2", self.alpha2),
+                                          get("ang", self.alpha_angle))
+            from dj_brdf_tpu.render.pathtrace import _stack_pvec
+            return _stack_pvec(p.ax, p.ay, p.rho, p.txn, p.tyn,
+                               f0[0], f0[1], f0[2])
+
+        return pvec_at
+
+
 @pytree_dataclass
 class MeasuredMaterial:
     """Measured (or analytic-fit) eval + importance sampling through a

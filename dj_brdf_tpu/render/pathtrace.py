@@ -15,6 +15,7 @@ any other batch.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -79,156 +80,300 @@ def _material_eval(mats, is_sphere, fn_name, *args):
     return jax.tree_util.tree_map(sel, a, b)
 
 
+class _FusedInfo(NamedTuple):
+    """Trace-time material description for the fused SoA render loops
+    (static dispatch, like the reference's plugin-construction-time
+    distribution resolution, mitsuba/dj_brdf.cpp:193-204)."""
+    family: str            # "ggx" | "beck"
+    caps: bool             # GGX spherical-caps sampler
+    pvec: object           # (8,) uniform params, or None when textured
+    pvec_at: object        # (uu, vv) -> (8, N) per-hit params, or None
+    conductor: object      # (eta, k) exact conductor Fresnel, or None
+
+
 def _fused_info(mat):
-    """(family, caps, pvec) when ``mat`` qualifies for the fused SoA
-    kernels (uniform GGX/Beckmann + Schlick MicrofacetMaterial), else
-    None — decided at trace time (static dispatch, like the
-    reference's plugin-construction-time distribution resolution,
-    mitsuba/dj_brdf.cpp:193-204)."""
+    """_FusedInfo when ``mat`` qualifies for the fused SoA kernels,
+    else None. Covers: uniform GGX/Beckmann+Schlick MicrofacetMaterial,
+    textured-alpha TexturedMicrofacetMaterial (per-hit roughness fetch,
+    the dj_brdf plugin's integrator-orthogonal texture path,
+    mitsuba/dj_brdf.cpp:353-357), and FilteredBeckmannMaterial with
+    uniform or full-map LEAN moments (dj_beckmannconductor.cpp:280-428
+    fetches LEAN maps per shading point inside any integrator)."""
+    from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
     from dj_brdf_tpu.microfacet.ndf import Beckmann, GGXSphericalCaps
-    from dj_brdf_tpu.render.materials import MicrofacetMaterial
+    from dj_brdf_tpu.render.materials import (MicrofacetMaterial,
+                                              TexturedMicrofacetMaterial)
 
-    if not isinstance(mat, MicrofacetMaterial):
+    if isinstance(mat, TexturedMicrofacetMaterial):
+        fam_caps = mat._fused_family()
+        if fam_caps is None:
+            return None
+        fam, caps = fam_caps
+        return _FusedInfo(fam, caps, None, mat.pvec_provider(), None)
+    if isinstance(mat, MicrofacetMaterial):
+        pv = mat._fused_pvec()
+        if pv is None:
+            return None
+        fam = "beck" if type(mat.dist) is Beckmann else "ggx"
+        return _FusedInfo(fam, isinstance(mat.dist, GGXSphericalCaps),
+                          pv, None, None)
+    if isinstance(mat, FilteredBeckmannMaterial):
+        leaves = (mat.lean.E1, mat.lean.E2, mat.lean.E3, mat.lean.E4,
+                  mat.lean.E5)
+        cond = (mat.eta, mat.k)
+        if all(getattr(x, "ndim", 0) == 0 for x in leaves):
+            p = mat.params()
+            pv = _stack_pvec(p.ax, p.ay, p.rho, p.txn, p.tyn,
+                             0.0, 0.0, 0.0)
+            return _FusedInfo("beck", False, pv, None, cond)
+        if (all(getattr(x, "ndim", 0) == 2 for x in leaves)
+                and len({x.shape for x in leaves}) == 1):
+            return _FusedInfo("beck", False, None, mat.pvec_provider(),
+                              cond)
         return None
-    pv = mat._fused_pvec()
-    if pv is None:
+    return None
+
+
+def _stack_pvec(ax, ay, rho, txn, tyn, f0r, f0g, f0b):
+    """Broadcast-stack parameter components into the kernels' (8,) or
+    (8, N) pvec layout."""
+    parts = [jnp.asarray(x, jnp.float32)
+             for x in (ax, ay, rho, txn, tyn, f0r, f0g, f0b)]
+    shape = jnp.broadcast_shapes(*[p.shape for p in parts])
+    return jnp.stack([jnp.broadcast_to(p, shape) for p in parts])
+
+
+# uv period of the ground plane: one texture tile spans 4x4 world
+# units (the sphere has radius 1), the role of the scene's uv
+# parameterization in the reference's Mitsuba scenes
+PLANE_UV_SCALE = 0.25
+
+
+def _hit_uv(is_sphere, px, py, pz):
+    """Per-hit texture coordinates: spherical uv on the sphere (same
+    convention as render.sphere.sphere_uv) and tiled world-xy on the
+    ground plane."""
+    phi = jnp.arctan2(py, px)
+    u_sph = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+    v_sph = jnp.arccos(jnp.clip(pz, -1.0, 1.0)) / jnp.pi
+    u_pln = jnp.mod(px * PLANE_UV_SCALE, 1.0)
+    v_pln = jnp.mod(py * PLANE_UV_SCALE, 1.0)
+    return (jnp.where(is_sphere, u_sph, u_pln),
+            jnp.where(is_sphere, v_sph, v_pln))
+
+
+def _select_pvec(is_sphere, pv0, pv1):
+    if pv0.ndim == 1:
+        pv0 = pv0[:, None]
+    if pv1.ndim == 1:
+        pv1 = pv1[:, None]
+    return jnp.where(is_sphere[None, :], pv0, pv1)
+
+
+def _make_fres_fn(infos, is_sphere, pv):
+    """Per-lane Fresnel closure for the fused kernels when any
+    material carries exact conductor Fresnel (the dj_beckmannconductor
+    / --conductor path); None = Schlick from the pvec rows."""
+    if all(info.conductor is None for info in infos):
         return None
-    fam = "beck" if type(mat.dist) is Beckmann else "ggx"
-    return fam, isinstance(mat.dist, GGXSphericalCaps), pv
+    from dj_brdf_tpu.fresnel import conductor_fresnel
+
+    def fres_fn(cosd):
+        if any(info.conductor is None for info in infos):
+            c1 = 1.0 - cosd
+            c5 = (c1 * c1) * (c1 * c1) * c1
+            Fr = pv[5] + c5 * (1.0 - pv[5])
+            Fg = pv[6] + c5 * (1.0 - pv[6])
+            Fb = pv[7] + c5 * (1.0 - pv[7])
+        else:
+            Fr = Fg = Fb = jnp.zeros_like(cosd)
+        for mask, info in ((is_sphere, infos[0]), (~is_sphere, infos[1])):
+            if info.conductor is not None:
+                eta, k = info.conductor
+                f = conductor_fresnel(cosd, eta, k)
+                Fr = jnp.where(mask, f[..., 0], Fr)
+                Fg = jnp.where(mask, f[..., 1], Fg)
+                Fb = jnp.where(mask, f[..., 2], Fb)
+        return Fr, Fg, Fb
+
+    return fres_fn
 
 
-def _fused_nee_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
+def _check_no_textured_fallback(mats):
+    """Textured materials fetch per-hit parameters inside the fused
+    SoA loop only; the generic layered loop has no uv plumbing. Raise
+    a useful error instead of an AttributeError deep in the scan."""
+    from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+    from dj_brdf_tpu.render.materials import TexturedMicrofacetMaterial
+    for mat in mats:
+        textured = isinstance(mat, TexturedMicrofacetMaterial) or (
+            isinstance(mat, FilteredBeckmannMaterial)
+            and getattr(mat.lean.E1, "ndim", 0) == 2)
+        if textured:
+            raise ValueError(
+                f"{type(mat).__name__} with texture maps needs the fused "
+                "SoA path: pair it with a fused-capable material "
+                "(GGX/Beckmann + Schlick MicrofacetMaterial, "
+                "TexturedMicrofacetMaterial, or FilteredBeckmannMaterial)"
+                " — the generic loop cannot fetch per-hit textures")
+
+
+def _resolve_scene(infos, is_sphere, px, py, pz):
+    """Per-lane (8, N) pvec + Fresnel closure for a bounce's hit
+    points: textured materials fetch their maps at the per-hit uv
+    (ONE packed row gather per textured material), uniform materials
+    broadcast — the bounce-loop half of the reference's per-shading-
+    point texture evaluation (dj_brdf.cpp:353-357)."""
+    if any(info.pvec is None for info in infos):
+        uu, vv = _hit_uv(is_sphere, px, py, pz)
+    pvs = [info.pvec if info.pvec is not None else info.pvec_at(uu, vv)
+           for info in infos]
+    pv = _select_pvec(is_sphere, *pvs)
+    return pv, _make_fres_fn(infos, is_sphere, pv)
+
+
+def _fused_nee_and_sample(infos, pv, fres_fn, is_sphere, l_comp, u1, u2,
+                          o_comp):
     """NEE evalp + BSDF sample through the fused SoA kernels
     (ops/soa.py) instead of the layered both-materials path — the
     round-3 structural fix (VERDICT r2 weak #3). Same-family material
-    pairs select the 8 parameters per ray and issue ONE kernel per op;
-    mixed pairs issue one fused kernel per family and select outputs
-    (the sampler and the NEE eval share the receiver warp via XLA CSE
-    inside the jit).
+    pairs issue ONE kernel per op on the per-lane-selected (8, N)
+    ``pv``; mixed pairs issue one dual-family kernel (the sampler and
+    the NEE eval share the receiver warp via XLA CSE inside the jit).
 
     ``l_comp``/``o_comp``: (lx, ly, lz) / (ox, oy, oz) component
-    arrays. Returns the 10-tuple (fr, fg, fb, wr, wg, wb, ix, iy, iz,
-    pdf) of component arrays."""
+    arrays; ``pv``/``fres_fn`` from :func:`_resolve_scene`. Returns
+    the 10-tuple (fr, fg, fb, wr, wg, wb, ix, iy, iz, pdf)."""
     from dj_brdf_tpu.ops import soa
 
-    (fam0, caps0, pv0), (fam1, caps1, pv1) = infos
+    fam0, caps0 = infos[0].family, infos[0].caps
+    fam1, caps1 = infos[1].family, infos[1].caps
     lx, ly, lz = l_comp
     ox, oy, oz = o_comp
 
-    def run(fam, caps, pv):
+    def run(fam, caps):
         if fam == "beck":
-            f3 = soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz)
-            out = soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz)
+            f3 = soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
+                                        fresnel_fn=fres_fn)
+            out = soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz,
+                                            fresnel_fn=fres_fn)
         else:
-            f3 = soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz)
-            out = soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps)
+            f3 = soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
+                                   fresnel_fn=fres_fn)
+            out = soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps,
+                                       fresnel_fn=fres_fn)
         return f3 + out  # 10-tuple of component arrays
 
     if fam0 == fam1 and caps0 == caps1:
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
-        return run(fam0, caps0, pv)
+        return run(fam0, caps0)
     if {fam0, fam1} == {"ggx", "beck"}:
         # GGX/Beckmann mix: ONE dual-family kernel — shared chain,
         # per-lane select of the distribution-specific scalars; the
         # GGX lanes keep their material's sampler (caps or qf)
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
         is_beck = is_sphere if fam0 == "beck" else ~is_sphere
         # caps flag of the GGX-side material (Beckmann has no caps
         # sampler; or-ing would silently misroute a future flagged dist)
         ggx_caps = caps0 if fam0 == "ggx" else caps1
         return soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz,
                                           u1, u2, ox, oy, oz,
-                                          caps=ggx_caps)
-    res0 = run(fam0, caps0, pv0)
-    res1 = run(fam1, caps1, pv1)
+                                          caps=ggx_caps,
+                                          fresnel_fn=fres_fn)
+    res0 = run(fam0, caps0)
+    res1 = run(fam1, caps1)
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
 
 
-def _fused_nee_pdf_and_sample(infos, is_sphere, l_comp, u1, u2, o_comp):
+def _fused_nee_pdf_and_sample(infos, pv, fres_fn, is_sphere, l_comp,
+                              u1, u2, o_comp):
     """Like :func:`_fused_nee_and_sample` but additionally returns the
     BSDF sampler's pdf at the NEE direction (the MIS counter-pdf for
     environment lighting). 11-tuple: (fr, fg, fb, pdf_nee, wr, wg, wb,
     ix, iy, iz, pdf)."""
     from dj_brdf_tpu.ops import soa
 
-    (fam0, caps0, pv0), (fam1, caps1, pv1) = infos
+    fam0, caps0 = infos[0].family, infos[0].caps
+    fam1, caps1 = infos[1].family, infos[1].caps
     lx, ly, lz = l_comp
     ox, oy, oz = o_comp
 
-    def run(fam, caps, pv):
+    def run(fam, caps):
         if fam == "beck":
             f4 = soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
-                                        with_pdf=True)
-            out = soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz)
+                                        with_pdf=True, fresnel_fn=fres_fn)
+            out = soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz,
+                                            fresnel_fn=fres_fn)
         else:
             f4 = soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
-                                   with_pdf=True)
-            out = soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps)
+                                   with_pdf=True, fresnel_fn=fres_fn)
+            out = soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps,
+                                       fresnel_fn=fres_fn)
         return f4 + out  # 11-tuple
 
     if fam0 == fam1 and caps0 == caps1:
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
-        return run(fam0, caps0, pv)
+        return run(fam0, caps0)
     if {fam0, fam1} == {"ggx", "beck"}:
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
         is_beck = is_sphere if fam0 == "beck" else ~is_sphere
         ggx_caps = caps0 if fam0 == "ggx" else caps1
         return soa.mixed_nee_evalp_is_soa(pv, is_beck, lx, ly, lz,
                                           u1, u2, ox, oy, oz,
                                           caps=ggx_caps,
-                                          with_nee_pdf=True)
-    res0 = run(fam0, caps0, pv0)
-    res1 = run(fam1, caps1, pv1)
+                                          with_nee_pdf=True,
+                                          fresnel_fn=fres_fn)
+    res0 = run(fam0, caps0)
+    res1 = run(fam1, caps1)
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
 
 
-def _fused_nee_eval(infos, is_sphere, l_comp, o_comp):
+def _fused_nee_eval(infos, pv, fres_fn, is_sphere, l_comp, o_comp):
     """NEE evalp only (fr, fg, fb) — the spp-deduplicated first bounce
     evaluates the light term once per pixel."""
     from dj_brdf_tpu.ops import soa
 
-    (fam0, _, pv0), (fam1, _, pv1) = infos
+    fam0, fam1 = infos[0].family, infos[1].family
     lx, ly, lz = l_comp
     ox, oy, oz = o_comp
 
-    def run(fam, pv):
+    def run(fam):
         if fam == "beck":
-            return soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz)
-        return soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz)
+            return soa.beckmann_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
+                                          fresnel_fn=fres_fn)
+        return soa.ggx_evalp_soa(pv, lx, ly, lz, ox, oy, oz,
+                                 fresnel_fn=fres_fn)
 
     if fam0 == fam1:
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
-        return run(fam0, pv)
-    res0 = run(fam0, pv0)
-    res1 = run(fam1, pv1)
+        return run(fam0)
+    res0 = run(fam0)
+    res1 = run(fam1)
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
 
 
-def _fused_sample(infos, is_sphere, u1, u2, o_comp):
+def _fused_sample(infos, pv, fres_fn, is_sphere, u1, u2, o_comp):
     """BSDF sample + IS weight only (wr, wg, wb, ix, iy, iz, pdf)."""
     from dj_brdf_tpu.ops import soa
 
-    (fam0, caps0, pv0), (fam1, caps1, pv1) = infos
+    fam0, caps0 = infos[0].family, infos[0].caps
+    fam1, caps1 = infos[1].family, infos[1].caps
     ox, oy, oz = o_comp
     zero = jnp.zeros_like(ox)
 
-    def run(fam, caps, pv):
+    def run(fam, caps):
         if fam == "beck":
-            return soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz)
-        return soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps)
+            return soa.beckmann_evalp_is_soa(pv, u1, u2, ox, oy, oz,
+                                             fresnel_fn=fres_fn)
+        return soa.ggx_evalp_is_soa(pv, u1, u2, ox, oy, oz, caps=caps,
+                                    fresnel_fn=fres_fn)
 
     if fam0 == fam1 and caps0 == caps1:
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
-        return run(fam0, caps0, pv)
+        return run(fam0, caps0)
     if {fam0, fam1} == {"ggx", "beck"}:
-        pv = jnp.where(is_sphere[None, :], pv0[:, None], pv1[:, None])
         is_beck = is_sphere if fam0 == "beck" else ~is_sphere
         return soa.mixed_nee_evalp_is_soa(pv, is_beck, zero, zero, zero,
                                           u1, u2, ox, oy, oz,
                                           caps=caps0 or caps1,
-                                          with_nee=False)
-    res0 = run(fam0, caps0, pv0)
-    res1 = run(fam1, caps1, pv1)
+                                          with_nee=False,
+                                          fresnel_fn=fres_fn)
+    res0 = run(fam0, caps0)
+    res1 = run(fam1, caps1)
     return tuple(jnp.where(is_sphere, a, b) for a, b in zip(res0, res1))
 
 
@@ -353,9 +498,11 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
 
     if envmap is not None:
         # dedicated envmap stream: the BSDF stream stays bit-identical
-        # to the delta-light renders
+        # to the delta-light renders. 3 uniforms per NEE draw: bin row
+        # + accept, bin column + phi offset, theta offset (see
+        # EnvMap.sample_grid's f32 bit budget)
         u_env = jax.random.uniform(jax.random.fold_in(key, 0xE57),
-                                   (max_bounces, n_rays, 2))
+                                   (max_bounces, n_rays, 3))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from dj_brdf_tpu.parallel.mesh import DATA_AXIS
@@ -365,6 +512,7 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
         if all(x is not None for x in infos):
             return _render_envmap_soa(infos, envmap, ro, rd, u, u_env,
                                       res, spp)
+        _check_no_textured_fallback(mats)
         return _render_envmap(mats, envmap, ro, rd, u, u_env, res, spp)
 
     # static material dispatch: both materials fused-capable -> the
@@ -374,6 +522,7 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     if all(x is not None for x in infos):
         return _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                            res, spp, dedup_ok=not jitter)
+    _check_no_textured_fallback(mats)
 
     def bounce(carry, u_b):
         ro, rd, throughput, radiance, alive = carry
@@ -402,6 +551,8 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
 
         throughput = throughput * jnp.where(alive[..., None], w, 1.0)
         alive = alive & (pdf > 0.0) & (i_s[..., 2] > 0.0)
+        # detached sampling — see _render_soa
+        i_s = jax.lax.stop_gradient(i_s)
         rd_new = normalize(local_to_world(n, i_s), eps=1e-12)
         ro_new = pos + n * _EPS * 3.0
         ro = jnp.where(alive[..., None], ro_new, ro)
@@ -460,7 +611,8 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
         o_loc = world_to_local(n, -rd)
 
         # next-event estimation: one envmap importance sample
-        ldx, ldy, ldz, pdf_l = em.sample(u_nee[:, 0], u_nee[:, 1])
+        ldx, ldy, ldz, pdf_l = em.sample(u_nee[:, 0], u_nee[:, 1],
+                                         u_nee[:, 2])
         l_world = jnp.stack([ldx, ldy, ldz], -1)
         l_loc = world_to_local(n, l_world)
         shadow_o = pos + n * _EPS * 3.0
@@ -481,6 +633,8 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
                                      u_bsdf[:, 0], u_bsdf[:, 1], o_loc)
         throughput = throughput * jnp.where(alive[..., None], w, 1.0)
         alive = alive & (pdf > 0.0) & (i_s[..., 2] > 0.0)
+        # detached sampling — see _render_soa
+        i_s = jax.lax.stop_gradient(i_s)
         rd_new = normalize(local_to_world(n, i_s), eps=1e-12)
         ro = jnp.where(alive[..., None], shadow_o, ro)
         rd = jnp.where(alive[..., None], rd_new, rd)
@@ -505,15 +659,19 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
 def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
     """Environment-lit MIS transport on flat component arrays with the
     fused material kernels — the SoA counterpart of
-    :func:`_render_envmap`. Per bounce: one packed envmap row gather
-    for the miss radiance+pdf, one for the NEE radiance, one
-    conditional-CDF row gather inside the emitter sample, and ONE
-    fused material kernel producing the NEE eval, its MIS counter-pdf,
-    and the BSDF sample together (mixed GGX/Beckmann scenes keep the
-    dual-family single-kernel dispatch)."""
+    :func:`_render_envmap`. Per bounce exactly TWO emitter gathers:
+    one 4-wide alias row for the importance draw (direction + exact
+    pdf), and one combined 16-wide packed row serving the miss lanes'
+    radiance+pdf (at the segment direction) and the surviving lanes'
+    NEE radiance (at the drawn direction) — miss and NEE lanes are
+    disjoint, so they share the gather. Plus ONE fused material kernel
+    producing the NEE eval, its MIS counter-pdf, and the BSDF sample
+    together (mixed GGX/Beckmann scenes keep the dual-family
+    single-kernel dispatch)."""
     from dj_brdf_tpu.render.envmap import power_heuristic
 
     n_rays = rd.shape[0]
+    h_em, w_em = em.radiance.shape[:2]
     u = jnp.moveaxis(u, -1, 1)
     u_env = jnp.moveaxis(u_env, -1, 1)
     off = _EPS * 3.0
@@ -524,16 +682,38 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
         u_bsdf, u_nee = u_b
         hit, t, nx, ny, nz, is_sphere, px, py, pz = _intersect_soa(
             rox, roy, roz, rdx, rdy, rdz)
+        miss = alive & ~hit
+
+        # emitter importance draw: grid position + exact bin density
+        # from ONE alias-row gather
+        tg, pg, pb_l = em.sample_grid(u_nee[0], u_nee[1], u_nee[2])
+        theta_l = tg * (jnp.pi / h_em)
+        phi_l = pg * (2.0 * jnp.pi / w_em)
+        sin_l = jnp.sin(theta_l)
+        llx = sin_l * jnp.cos(phi_l)
+        lly = sin_l * jnp.sin(phi_l)
+        llz = jnp.cos(theta_l)
+        ldx, ldy, ldz = em._to_world(llx, lly, llz)
+        pdf_l = pb_l / jnp.maximum(sin_l, 1e-6)
+
+        # combined packed gather: miss lanes read the segment
+        # direction's cell, surviving lanes the NEE cell (disjoint)
+        mlx, mly, mlz = em._to_local(rdx, rdy, rdz)
+        idx_m, f1m, f2m, sin_m = em._cell(mlx, mly, mlz)
+        idx_n, f1n, f2n = em._cell_from_grid(tg, pg)
+        idx = jnp.where(miss, idx_m, idx_n)
+        f1 = jnp.where(miss, f1m, f1n)
+        f2 = jnp.where(miss, f2m, f2n)
+        cr, cg, cb, pb_sel = em._lookup(idx, f1, f2)
 
         # miss -> envmap radiance with MIS against the generating
         # BSDF pdf (prev_pdf < 0 marks the camera ray)
-        mr, mg, mb, pdf_env_rd = em.eval_with_pdf(rdx, rdy, rdz)
+        pdf_env_rd = pb_sel / sin_m
         w_mis = jnp.where(prev_pdf < 0.0, 1.0,
                           power_heuristic(prev_pdf, pdf_env_rd))
-        miss = alive & ~hit
-        ra_r = ra_r + jnp.where(miss, th_r * mr * w_mis, 0.0)
-        ra_g = ra_g + jnp.where(miss, th_g * mg * w_mis, 0.0)
-        ra_b = ra_b + jnp.where(miss, th_b * mb * w_mis, 0.0)
+        ra_r = ra_r + jnp.where(miss, th_r * cr * w_mis, 0.0)
+        ra_g = ra_g + jnp.where(miss, th_g * cg * w_mis, 0.0)
+        ra_b = ra_b + jnp.where(miss, th_b * cb * w_mis, 0.0)
         alive = alive & hit
 
         tx, ty, tz, bx, by, bz = _build_frame_soa(nx, ny, nz)
@@ -541,9 +721,9 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
         oy = -(rdx * bx + rdy * by + rdz * bz)
         oz = -(rdx * nx + rdy * ny + rdz * nz)
 
-        # emitter importance sample (world), to the local frame
-        ldx, ldy, ldz, pdf_l = em.sample(u_nee[0], u_nee[1])
-        le_r, le_g, le_b = em.eval(ldx, ldy, ldz)
+        # NEE radiance: the same combined gather's values on the
+        # surviving (non-miss) lanes
+        le_r, le_g, le_b = cr, cg, cb
         lx = ldx * tx + ldy * ty + ldz * tz
         ly = ldx * bx + ldy * by + ldz * bz
         lz = ldx * nx + ldy * ny + ldz * nz
@@ -555,10 +735,11 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
                                jnp.broadcast_to(ldz, sox.shape))[0]
         lit = ~s_hit
 
+        pv, fres_fn = _resolve_scene(infos, is_sphere, px, py, pz)
         (fr, fg, fb, pdf_nee, wr, wg, wb, ixl, iyl, izl,
          pdf) = _fused_nee_pdf_and_sample(
-            infos, is_sphere, (lx, ly, lz), u_bsdf[0], u_bsdf[1],
-            (ox, oy, oz))
+            infos, pv, fres_fn, is_sphere, (lx, ly, lz), u_bsdf[0],
+            u_bsdf[1], (ox, oy, oz))
 
         w_nee = power_heuristic(pdf_l, pdf_nee) / jnp.maximum(pdf_l, 1e-12)
         ok = alive & lit & (lz > 0.0) & (oz > 0.0)
@@ -571,6 +752,11 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
         th_g = th_g * jnp.where(alive, wg, 1.0)
         th_b = th_b * jnp.where(alive, wb, 1.0)
         alive = alive & (pdf > 0.0) & (izl > 0.0)
+
+        # detached sampling — see _render_soa
+        ixl, iyl, izl = (jax.lax.stop_gradient(ixl),
+                         jax.lax.stop_gradient(iyl),
+                         jax.lax.stop_gradient(izl))
 
         wx = ixl * tx + iyl * bx + izl * nx
         wy = ixl * ty + iyl * by + izl * ny
@@ -662,8 +848,10 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                                jnp.broadcast_to(ldz, sox.shape))[0]
         lit = ~s_hit
 
+        pv, fres_fn = _resolve_scene(infos, is_sphere, px, py, pz)
         fr, fg, fb, wr, wg, wb, ixl, iyl, izl, pdf = _fused_nee_and_sample(
-            infos, is_sphere, (lx, ly, lz), u_b[0], u_b[1], (ox, oy, oz))
+            infos, pv, fres_fn, is_sphere, (lx, ly, lz), u_b[0], u_b[1],
+            (ox, oy, oz))
 
         ok = alive & lit & (lz > 0.0) & (oz > 0.0)
         ra_r = ra_r + jnp.where(ok, th_r * lr_r * fr, 0.0)
@@ -674,6 +862,14 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
         th_g = th_g * jnp.where(alive, wg, 1.0)
         th_b = th_b * jnp.where(alive, wb, 1.0)
         alive = alive & (pdf > 0.0) & (izl > 0.0)
+
+        # detached sampling (the Mitsuba-3 default): differentiate the
+        # weights along FIXED paths — the reparameterization gradient
+        # through sampled directions into the next intersection is
+        # unbounded at grazing hits (d sqrt(disc) -> inf) and noisy
+        ixl, iyl, izl = (jax.lax.stop_gradient(ixl),
+                         jax.lax.stop_gradient(iyl),
+                         jax.lax.stop_gradient(izl))
 
         # next segment: local_to_world + normalize
         wx = ixl * tx + iyl * bx + izl * nx
@@ -706,7 +902,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
         return carry
 
     dedup = (dedup_ok and spp > 1
-             and any(info[0] == "beck" for info in infos))
+             and any(info.family == "beck" for info in infos))
     if not dedup:
         ones = jnp.ones(n_rays, jnp.float32)
         zeros = jnp.zeros(n_rays, jnp.float32)
@@ -736,7 +932,8 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                              jnp.broadcast_to(ldx, sox_p.shape),
                              jnp.broadcast_to(ldy, sox_p.shape),
                              jnp.broadcast_to(ldz, sox_p.shape))[0]
-    fr_p, fg_p, fb_p = _fused_nee_eval(infos, is_sph_p,
+    pv_p, fres_p = _resolve_scene(infos, is_sph_p, px_p, py_p, pz_p)
+    fr_p, fg_p, fb_p = _fused_nee_eval(infos, pv_p, fres_p, is_sph_p,
                                        (lx_p, ly_p, lz_p),
                                        (ox_p, oy_p, oz_p))
     # per-pixel radiance terms of bounce 1 (throughput = 1, all alive)
@@ -745,16 +942,23 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     ra1_g = jnp.where(~hit_p, sk_g, 0.0) + jnp.where(ok_p, lr_g * fg_p, 0.0)
     ra1_b = jnp.where(~hit_p, sk_b, 0.0) + jnp.where(ok_p, lr_b * fb_p, 0.0)
 
-    # the sampler consumes per-copy randoms: full ray count
+    # the sampler consumes per-copy randoms: full ray count (the
+    # per-pixel pvec/Fresnel tile with the other per-pixel values)
     alive1 = tile(hit_p)
     is_sph1 = tile(is_sph_p)
     o1 = (tile(ox_p), tile(oy_p), tile(oz_p))
+    pv1t = jnp.tile(pv_p, (1, spp))
+    fres1t = _make_fres_fn(infos, is_sph1, pv1t)
     wr1, wg1, wb1, ix1, iy1, iz1, pdf1 = _fused_sample(
-        infos, is_sph1, u[0][0], u[0][1], o1)
+        infos, pv1t, fres1t, is_sph1, u[0][0], u[0][1], o1)
     th_r = jnp.where(alive1, wr1, 1.0)
     th_g = jnp.where(alive1, wg1, 1.0)
     th_b = jnp.where(alive1, wb1, 1.0)
     alive1 = alive1 & (pdf1 > 0.0) & (iz1 > 0.0)
+    # detached sampling — see the bounce body
+    ix1, iy1, iz1 = (jax.lax.stop_gradient(ix1),
+                     jax.lax.stop_gradient(iy1),
+                     jax.lax.stop_gradient(iz1))
     wx = ix1 * tile(tx_p) + iy1 * tile(bx_p) + iz1 * tile(nx_p)
     wy = ix1 * tile(ty_p) + iy1 * tile(by_p) + iz1 * tile(ny_p)
     wz = ix1 * tile(tz_p) + iy1 * tile(bz_p) + iz1 * tile(nz_p)

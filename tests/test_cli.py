@@ -284,6 +284,46 @@ def test_validate_merl_fits_tool(merl_file, tmp_path):
         assert "oracle" in r.stdout and "MISMATCH" not in r.stdout
 
 
+def test_render_cli_matpreview_composition(tmp_path):
+    """The VERDICT r4 #1 done-criterion: ONE CLI command renders a
+    matpreview-style scene — textured-alpha GGX sphere + LEAN-mapped
+    Beckmann-conductor floor + .hdr envmap MIS lighting + rotation —
+    all composed under --pathtrace."""
+    from dj_brdf_tpu.io.hdr import write_hdr
+    rng = np.random.default_rng(0)
+
+    # probe .hdr with a bright sun patch
+    env = np.abs(rng.normal(1.0, 0.4, (16, 32, 3))).astype(np.float32)
+    env[4:6, 8:11] *= 50.0
+    envp = str(tmp_path / "probe.hdr")
+    write_hdr(envp, env)
+
+    # sphere roughness texture
+    a1p = str(tmp_path / "a1.npy")
+    np.save(a1p, rng.uniform(0.05, 0.6, (12, 12)).astype(np.float32))
+
+    # floor LEAN maps (E1,E2) / (E3,E4,E5)
+    e1 = rng.normal(0, 0.2, (8, 8)).astype(np.float32)
+    e2 = rng.normal(0, 0.2, (8, 8)).astype(np.float32)
+    l1 = np.stack([e1, e2], -1)
+    l2 = np.stack([e1 * e1 + 0.02, e2 * e2 + 0.02, e1 * e2], -1)
+    l1p, l2p = str(tmp_path / "l1.npy"), str(tmp_path / "l2.npy")
+    np.save(l1p, l1)
+    np.save(l2p, l2)
+
+    out = str(tmp_path / "matpreview.npy")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "ggx",
+                "--alpha1-map", a1p, "--alpha2", 0.2,
+                "--pathtrace", "--envmap", envp, "--envmap-rot-z", 45,
+                "--floor-model", "lean", "--floor-leanmap1", l1p,
+                "--floor-leanmap2", l2p, "--floor-alpha", 0.1,
+                "--res", 24, "--spp", 2, "--bounces", 2, "-o", out)
+    assert r.returncode == 0, r.stderr
+    img = np.load(out)
+    assert img.shape == (24, 24, 3) and np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+
 def test_render_cli_envmap(tmp_path):
     rng = np.random.default_rng(0)
     env = np.abs(rng.normal(1.0, 0.4, (8, 16, 3))).astype(np.float32)

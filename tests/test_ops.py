@@ -433,3 +433,114 @@ def test_make_fused_value_and_grad_pallas_interpret(rng):
                     jax.tree_util.tree_leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_beckmann_hand_adjoint_matches_autodiff(rng):
+    """soa.beckmann_lsq_fwdbwd_soa == jax.grad of the Beckmann loss at
+    randomized parameter sets (the fuzz-seed style sweep), including
+    gated/degenerate samples (VERDICT r4 #5)."""
+    from dj_brdf_tpu.microfacet.ndf import Beckmann
+
+    n = 8192
+    i, o = make_batch(rng, n)
+    comp = soa.split_dirs(i, o)
+    for seed in range(8):
+        r = np.random.default_rng(seed + 41)
+        pv_true = jnp.asarray(
+            [r.uniform(0.1, 0.6), r.uniform(0.1, 0.6),
+             r.uniform(-0.5, 0.5), r.uniform(-0.2, 0.2),
+             r.uniform(-0.2, 0.2), r.uniform(0.2, 0.95),
+             r.uniform(0.2, 0.95), r.uniform(0.2, 0.95)], jnp.float32)
+        tr, tg, tb = soa.beckmann_evalp_soa(pv_true, *comp)
+        pvec = jnp.asarray(
+            [r.uniform(0.15, 0.5), r.uniform(0.15, 0.5),
+             r.uniform(-0.4, 0.4), r.uniform(-0.1, 0.1),
+             r.uniform(-0.1, 0.1), 0.5, 0.5, 0.5], jnp.float32)
+        want_val, want_grad = jax.value_and_grad(
+            soa.beckmann_lsq_loss_soa)(pvec, *comp, tr, tg, tb)
+        loss_sum, grad_sum = soa.beckmann_lsq_fwdbwd_soa(
+            pvec, *comp, tr, tg, tb)
+        np.testing.assert_allclose(float(loss_sum) / n, float(want_val),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(grad_sum) / n,
+                                   np.asarray(want_grad),
+                                   rtol=3e-3, atol=2e-6)
+
+    # degenerate: o below horizon contributes exactly 0
+    pvec = jnp.asarray([0.4, 0.3, 0.1, 0.0, 0.0, 0.5, 0.5, 0.5],
+                       jnp.float32)
+    bad_o = jnp.stack([jnp.zeros(4), jnp.zeros(4), -jnp.ones(4)], -1)
+    bi = soa.split_dirs(i[:4], bad_o)
+    z = jnp.zeros(4)
+    ls, gr = soa.beckmann_lsq_fwdbwd_soa(pvec, *bi, z, z, z)
+    assert float(ls) == 0.0
+    assert np.isfinite(np.asarray(gr)).all()
+    np.testing.assert_array_equal(np.asarray(gr), np.zeros(8))
+
+
+def test_beckmann_fused_kernel_matches_autodiff(rng):
+    """The Pallas kernel with family="beck" (interpret mode) == XLA
+    autodiff of the Beckmann loss."""
+    n = 128 * 256
+    i, o = make_batch(rng, n)
+    comp = soa.split_dirs(i, o)
+    pvec_true = jnp.asarray([0.3, 0.2, 0.2, 0.0, 0.0, 0.9, 0.6, 0.3],
+                            jnp.float32)
+    tr, tg, tb = soa.beckmann_evalp_soa(pvec_true, *comp)
+    pvec = jnp.asarray([0.4, 0.3, 0.1, 0.02, -0.03, 0.5, 0.5, 0.5],
+                       jnp.float32)
+    want_val, want_grad = jax.value_and_grad(soa.beckmann_lsq_loss_soa)(
+        pvec, *comp, tr, tg, tb)
+    got_val, got_grad = ggx_lsq_value_and_grad(
+        pvec, *comp, tr, tg, tb, interpret=True, family="beck")
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_grad),
+                               np.asarray(want_grad),
+                               rtol=3e-3, atol=2e-6)
+
+
+def test_fit_lsq_beckmann_fused_matches_layered(rng):
+    """fit_lsq routes Beckmann through the hand adjoint (fused="auto")
+    and tracks the layered path (the reference treats the Beckmann fit
+    as co-equal with GGX, dj_brdf.h:3133-3158)."""
+    from dj_brdf_tpu.fit import lsq
+    from dj_brdf_tpu.microfacet.ndf import Beckmann
+
+    n = 4096
+    i, o = make_batch(rng, n)
+    true_params = MicrofacetParams.elliptic(0.3, 0.15, 0.4)
+    true_f0 = jnp.asarray([0.9, 0.6, 0.3], jnp.float32)
+    target = mf.evalp(Beckmann(), fresnel.Schlick(f0=true_f0),
+                      true_params, i, o)
+
+    assert lsq.fused_eligible(Beckmann()) == "beck"
+    p_f, f_f, l_f = lsq.fit_lsq(Beckmann(), i, o, target, steps=150)
+    p_l, f_l, l_l = lsq.fit_lsq(Beckmann(), i, o, target, steps=150,
+                                fused="never")
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_l),
+                               rtol=1e-2, atol=1e-5)
+    for a, b in ((p_f.ax, p_l.ax), (p_f.ay, p_l.ay), (p_f.rho, p_l.rho)):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-2,
+                                   atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_f.f0), np.asarray(f_l.f0),
+                               atol=5e-3)
+
+
+def test_fit_materials_beckmann_fused(rng):
+    """Batched Beckmann fits go through the family-routed adjoint and
+    recover the truth."""
+    from dj_brdf_tpu.fit.batch import fit_materials
+    from dj_brdf_tpu.microfacet.ndf import Beckmann
+
+    n = 2048
+    i, o = make_batch(rng, n)
+    alphas = [0.2, 0.45]
+    targets = jnp.stack([
+        mf.evalp(Beckmann(), fresnel.Schlick(
+            f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32)),
+            MicrofacetParams.isotropic(a), i, o)
+        for a in alphas])
+    pf, ff, lf = fit_materials(targets, i, o, steps=150,
+                               dist=Beckmann())
+    np.testing.assert_allclose(np.asarray(pf.ax), alphas, rtol=0.1)
+    assert np.isfinite(np.asarray(lf)).all()

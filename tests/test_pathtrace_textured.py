@@ -1,0 +1,211 @@
+"""Integrator-orthogonal materials: textured roughness and LEAN maps
+under the multi-bounce path tracer (VERDICT r4 #1). In the reference
+every material fetches its textures per shading point inside whatever
+Mitsuba integrator runs (mitsuba/dj_brdf.cpp:353-357,
+dj_beckmannconductor.cpp:280-428); here the fused SoA bounce loop
+resolves per-hit (8, N) parameter vectors the kernels consume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dj_brdf_tpu import fresnel
+from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+from dj_brdf_tpu.lean.lrep import Lrep
+from dj_brdf_tpu.microfacet.ndf import GGX, Beckmann
+from dj_brdf_tpu.microfacet.params import MicrofacetParams
+from dj_brdf_tpu.models.lambert import Lambert
+from dj_brdf_tpu.render import materials, pathtrace
+from dj_brdf_tpu.render.envmap import EnvMap
+from dj_brdf_tpu.render.materials import (CosineMaterial,
+                                          MicrofacetMaterial,
+                                          TexturedMicrofacetMaterial)
+
+GOLD_ETA = jnp.asarray([0.143, 0.375, 1.442], jnp.float32)
+GOLD_K = jnp.asarray([3.983, 2.386, 1.603], jnp.float32)
+F0 = fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3], jnp.float32))
+
+
+def _floor():
+    return MicrofacetMaterial(
+        dist=Beckmann(), fres=fresnel.Schlick(f0=jnp.asarray([0.3, 0.3, 0.3])),
+        params=MicrofacetParams.isotropic(0.5))
+
+
+def _render(sphere, floor, **kw):
+    args = dict(res=24, spp=4, max_bounces=2)
+    args.update(kw)
+    return np.asarray(pathtrace.render(
+        sphere, floor, jnp.asarray([0.3, 0.4, 0.8], jnp.float32),
+        jnp.asarray([3.0, 3.0, 3.0]), jnp.asarray([0.2, 0.25, 0.3]),
+        **args))
+
+
+def _sun_sky(h=16, w=32):
+    rng = np.random.default_rng(1)
+    img = np.abs(rng.normal(1.0, 0.4, (h, w, 3))).astype(np.float32)
+    img[3:5, 10:13] *= 40.0
+    return EnvMap.build(jnp.asarray(img))
+
+
+def test_constant_texture_matches_uniform():
+    """A constant-valued alpha texture reproduces the uniform-material
+    image (the VERDICT done-criterion): per-hit fetch + elliptic
+    conversion equals the uniform pvec to f32 rounding."""
+    a1, a2, ang = 0.35, 0.15, 0.6
+    uni = MicrofacetMaterial(dist=GGX(), fres=F0,
+                             params=MicrofacetParams.elliptic(a1, a2, ang))
+    tex = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=F0,
+        alpha1=jnp.full((9, 13), a1, jnp.float32),
+        alpha2=jnp.full((9, 13), a2, jnp.float32),
+        alpha_angle=jnp.asarray(ang, jnp.float32))
+    img_u = _render(uni, _floor())
+    img_t = _render(tex, _floor())
+    np.testing.assert_allclose(img_t, img_u, rtol=2e-5, atol=2e-6)
+
+
+def test_constant_texture_matches_uniform_envmap():
+    """Same under environment-map MIS transport — textures and
+    --envmap compose (the matpreview combination)."""
+    em = _sun_sky()
+    a1 = 0.3
+    uni = MicrofacetMaterial(dist=GGX(), fres=F0,
+                             params=MicrofacetParams.isotropic(a1))
+    tex = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=F0,
+        alpha1=jnp.full((8, 8), a1, jnp.float32),
+        alpha2=jnp.full((8, 8), a1, jnp.float32),
+        alpha_angle=jnp.asarray(0.0, jnp.float32))
+    img_u = _render(uni, _floor(), envmap=em)
+    img_t = _render(tex, _floor(), envmap=em)
+    np.testing.assert_allclose(img_t, img_u, rtol=2e-5, atol=2e-6)
+
+
+def test_lean_constant_maps_match_uniform():
+    """A LEAN map with constant moments reproduces the uniform
+    FilteredBeckmannMaterial under the path tracer (per-hit fetch ==
+    uniform moments)."""
+    E1, E2, E3, E4, E5 = 0.2, 0.1, 0.06, 0.04, 0.04
+    base = MicrofacetParams.isotropic(0.2)
+    uni = FilteredBeckmannMaterial(
+        lean=Lrep(*(jnp.asarray(v, jnp.float32)
+                    for v in (E1, E2, E3, E4, E5))),
+        base_params=base, eta=GOLD_ETA, k=GOLD_K)
+    tex = FilteredBeckmannMaterial(
+        lean=Lrep(*(jnp.full((7, 11), v, jnp.float32)
+                    for v in (E1, E2, E3, E4, E5))),
+        base_params=base, eta=GOLD_ETA, k=GOLD_K)
+    img_u = _render(uni, _floor())
+    img_t = _render(tex, _floor())
+    np.testing.assert_allclose(img_t, img_u, rtol=2e-5, atol=2e-6)
+
+
+def test_uniform_lean_fused_matches_generic():
+    """The uniform FilteredBeckmannMaterial now routes through the
+    fused SoA loop (conductor Fresnel per lane); it must render the
+    same image as the generic layered loop."""
+    uni = FilteredBeckmannMaterial(
+        lean=Lrep(*(jnp.asarray(v, jnp.float32)
+                    for v in (0.2, 0.1, 0.06, 0.04, 0.04))),
+        base_params=MicrofacetParams.isotropic(0.2),
+        eta=GOLD_ETA, k=GOLD_K)
+    img_fast = _render(uni, _floor())
+    import pytest
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(pathtrace, "_fused_info", lambda m: None)
+        jax.clear_caches()
+        img_generic = _render(uni, _floor())
+    finally:
+        mp.undo()
+        jax.clear_caches()
+    np.testing.assert_allclose(img_fast, img_generic, rtol=2e-3, atol=2e-3)
+
+
+def test_textured_roughness_varies_across_surface():
+    """A two-band roughness texture produces visibly different
+    highlights across the sphere (the fetch actually lands per-hit)."""
+    amap = np.full((16, 32), 0.08, np.float32)
+    amap[:, 16:] = 0.7
+    tex = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=F0,
+        alpha1=jnp.asarray(amap), alpha2=jnp.asarray(amap),
+        alpha_angle=jnp.asarray(0.0, jnp.float32))
+    lo = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=F0,
+        alpha1=jnp.full((16, 32), 0.08, jnp.float32),
+        alpha2=jnp.full((16, 32), 0.08, jnp.float32),
+        alpha_angle=jnp.asarray(0.0, jnp.float32))
+    img = _render(tex, _floor(), res=32, spp=8)
+    img_lo = _render(lo, _floor(), res=32, spp=8)
+    assert np.isfinite(img).all()
+    # the two renders must differ exactly where the rough band lives
+    assert np.abs(img - img_lo).max() > 0.01
+
+
+def test_gradients_flow_to_texture_and_lean_leaves():
+    """d(render)/d(alpha map) and d(render)/d(LEAN moment maps) are
+    finite and nonzero — the inverse-rendering surface of the textured
+    path (VERDICT r4 #1 done-criterion)."""
+    em = _sun_sky()
+
+    def loss(amap, e3map):
+        sphere = TexturedMicrofacetMaterial(
+            dist=GGX(), fres=F0, alpha1=amap, alpha2=amap,
+            alpha_angle=jnp.asarray(0.0, jnp.float32))
+        floor = FilteredBeckmannMaterial(
+            lean=Lrep(E1=jnp.zeros_like(e3map), E2=jnp.zeros_like(e3map),
+                      E3=e3map, E4=e3map, E5=jnp.zeros_like(e3map)),
+            base_params=MicrofacetParams.isotropic(0.15),
+            eta=GOLD_ETA, k=GOLD_K)
+        img = pathtrace.render(
+            sphere, floor, jnp.asarray([0.3, 0.4, 0.8], jnp.float32),
+            jnp.zeros(3), jnp.zeros(3), envmap=em,
+            res=16, spp=2, max_bounces=2)
+        return img.mean()
+
+    amap0 = jnp.full((8, 8), 0.3, jnp.float32)
+    e3map0 = jnp.full((6, 6), 0.05, jnp.float32)
+    ga, ge = jax.grad(loss, argnums=(0, 1))(amap0, e3map0)
+    ga, ge = np.asarray(ga), np.asarray(ge)
+    assert np.isfinite(ga).all() and np.abs(ga).max() > 0
+    assert np.isfinite(ge).all() and np.abs(ge).max() > 0
+
+
+def test_matpreview_composition():
+    """The full matpreview-grade scene from VERDICT r4 #1: textured-
+    alpha GGX sphere + LEAN-mapped Beckmann-conductor floor + envmap
+    MIS lighting, one render call."""
+    rng = np.random.default_rng(5)
+    amap = jnp.asarray(rng.uniform(0.05, 0.6, (16, 16)), jnp.float32)
+    e1 = jnp.asarray(rng.normal(0, 0.15, (12, 12)), jnp.float32)
+    e2 = jnp.asarray(rng.normal(0, 0.15, (12, 12)), jnp.float32)
+    lean = Lrep(E1=e1, E2=e2, E3=e1 * e1 + 0.02, E4=e2 * e2 + 0.02,
+                E5=e1 * e2)
+    sphere = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=F0, alpha1=amap, alpha2=amap,
+        alpha_angle=jnp.asarray(0.0, jnp.float32))
+    floor = FilteredBeckmannMaterial(
+        lean=lean, base_params=MicrofacetParams.isotropic(0.1),
+        eta=GOLD_ETA, k=GOLD_K)
+    img = _render(sphere, floor, envmap=_sun_sky(), res=32, spp=4,
+                  max_bounces=3)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
+
+
+def test_textured_with_unfusable_floor_raises():
+    """Textured materials need the fused SoA loop; pairing with a
+    non-fused material raises a clear error instead of crashing."""
+    tex = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=F0,
+        alpha1=jnp.full((4, 4), 0.3, jnp.float32),
+        alpha2=jnp.asarray(0.3, jnp.float32),
+        alpha_angle=jnp.asarray(0.0, jnp.float32))
+    lamb = CosineMaterial(model=Lambert(
+        reflectance=jnp.asarray([0.4, 0.4, 0.4])))
+    with pytest.raises(ValueError, match="fused SoA path"):
+        _render(tex, lamb)
