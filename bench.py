@@ -501,14 +501,18 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
     # environment-lit MIS transport (render/envmap.py + the SoA envmap
     # loop): per-bounce emitter sampling/eval is gather-issue-bound
     # (DESIGN.md "Environment-map lighting"), so this is a table
-    # workload, not a kernel workload
-    def pathtrace_env_rate():
+    # workload, not a kernel workload. Two map sizes: the historical
+    # 32x64 record point and a production 1024x2048 lat-long (the
+    # matpreview-class emitter, VERDICT r4 #2) — the alias sampler's
+    # per-draw cost is size-independent, so the two should track.
+    def pathtrace_env_rate(h, w):
         import numpy as np
         from dj_brdf_tpu.render import materials, pathtrace
         from dj_brdf_tpu.render.envmap import EnvMap
         rng = np.random.default_rng(0)
-        img = np.abs(rng.normal(1.0, 0.5, (32, 64, 3))).astype(np.float32)
-        img[6:9, 20:25] *= 60.0
+        img = np.abs(rng.normal(1.0, 0.5, (h, w, 3))).astype(np.float32)
+        img[h // 5:h // 5 + max(1, h // 10),
+            w // 3:w // 3 + max(1, w // 12)] *= 60.0
         em = EnvMap.build(jnp.asarray(img))
         sphere = materials.MicrofacetMaterial(dist=GGX(), fres=fres,
                                               params=params)
@@ -527,7 +531,51 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
             return out.sum()
         dt = _timeit(stp, max(1, iters // 4))
         return res * res * spp * max(1, iters // 4) / dt
-    _metric("pathtrace_envmap_samples_per_s", pathtrace_env_rate,
+    _metric("pathtrace_envmap_samples_per_s",
+            lambda: pathtrace_env_rate(32, 64), unit="samples/s")
+    _metric("pathtrace_envmap_1024x2048_samples_per_s",
+            lambda: pathtrace_env_rate(1024, 2048), unit="samples/s")
+
+    # textured matpreview-class frame: per-hit alpha-texture +
+    # full-map LEAN fetches inside the bounce loop + envmap MIS
+    # (the integrator-orthogonal path, VERDICT r4 #1)
+    def pathtrace_textured_rate():
+        import numpy as np
+        from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+        from dj_brdf_tpu.lean.lrep import Lrep
+        from dj_brdf_tpu.render import pathtrace
+        from dj_brdf_tpu.render.envmap import EnvMap
+        from dj_brdf_tpu.render.materials import \
+            TexturedMicrofacetMaterial
+        rng = np.random.default_rng(0)
+        img = np.abs(rng.normal(1.0, 0.5, (256, 512, 3))).astype(
+            np.float32)
+        img[50:60, 160:170] *= 60.0
+        em = EnvMap.build(jnp.asarray(img))
+        amap = jnp.asarray(rng.uniform(0.05, 0.6, (512, 512)),
+                           jnp.float32)
+        sphere = TexturedMicrofacetMaterial(
+            dist=GGX(), fres=fres, alpha1=amap, alpha2=amap,
+            alpha_angle=jnp.asarray(0.0, jnp.float32))
+        e1 = jnp.asarray(rng.normal(0, 0.15, (512, 512)), jnp.float32)
+        floor = FilteredBeckmannMaterial(
+            lean=Lrep(E1=e1, E2=e1 * 0.5, E3=e1 * e1 + 0.02,
+                      E4=0.25 * e1 * e1 + 0.02, E5=0.5 * e1 * e1),
+            base_params=MicrofacetParams.isotropic(0.1),
+            eta=jnp.asarray([0.143, 0.375, 1.442], jnp.float32),
+            k=jnp.asarray([3.983, 2.386, 1.603], jnp.float32))
+        res, spp = 256, 8
+        rkey = jax.random.key(0, impl="rbg")
+
+        def stp():
+            out = pathtrace.render(
+                sphere, floor, jnp.asarray([0.3, 0.4, 0.8]),
+                jnp.zeros(3), jnp.zeros(3), res=res, spp=spp,
+                max_bounces=3, envmap=em, key=rkey)
+            return out.sum()
+        dt = _timeit(stp, max(1, iters // 4))
+        return res * res * spp * max(1, iters // 4) / dt
+    _metric("pathtrace_matpreview_samples_per_s", pathtrace_textured_rate,
             unit="samples/s")
 
     # --- power-iteration matvec at the production aniso kernel size

@@ -89,20 +89,40 @@ class EnvMap:
     #                         pb_alias]; pb = bin mass/(dtheta*dphi)
     rot: jnp.ndarray | None = None  # optional (3,3) to-world rotation
 
+    # nearest-filter threshold: tables up to 128 KB stay VMEM-resident
+    # and gather at ~3e8 rows/s; HBM-resident tables hold ~8.8e7
+    # rows/s up to ~16 MB, and 64-byte bilinear rows HALVE beyond that
+    # while 16-byte nearest rows do not (measured, DESIGN.md
+    # "Environment-map lighting") — so maps above 2^18 texels trade
+    # bilinear filtering (sub-texel detail is sub-pixel there anyway)
+    # for the narrow rows
+    NEAREST_AUTO_BINS = 1 << 18
+
     @classmethod
-    def build(cls, radiance, rotation=None):
+    def build(cls, radiance, rotation=None, filter: str = "auto"):
         """Precompute sampling tables from an (H, W, 3) lat-long
         radiance image (values >= 0). Host-side, scene-load-time work
         (concrete arrays only): the alias construction is O(H*W)
         native C. For differentiable radiance under a frozen sampler
-        (inverse lighting) see :meth:`rebind`."""
+        (inverse lighting) see :meth:`rebind`.
+
+        ``filter``: "bilinear" packs 4 corner texels + 4 pdf bins per
+        row (64-byte rows); "nearest" packs [r, g, b, pdf_bin]
+        (16-byte rows — 2x the gather rate on HBM-resident production
+        maps, where a texel is far below a pixel anyway); "auto"
+        picks nearest for maps over 64 K texels."""
         if isinstance(radiance, jax.core.Tracer):
             raise TypeError(
                 "EnvMap.build needs concrete radiance (host-side alias "
                 "construction); build once outside jit/grad, then use "
                 "EnvMap.rebind(radiance) for differentiable updates")
+        if filter not in ("auto", "bilinear", "nearest"):
+            raise ValueError(f"unknown filter {filter!r}")
         radiance = jnp.asarray(radiance, jnp.float32)
         h, w = radiance.shape[:2]
+        if filter == "auto":
+            filter = "nearest" if h * w > cls.NEAREST_AUTO_BINS \
+                else "bilinear"
         rad_np = np.asarray(radiance)
         lum = np.maximum(rad_np, 0.0).mean(-1) + 1e-12
         sin_rows = np.sin((np.arange(h) + 0.5) * (np.pi / h))
@@ -120,26 +140,41 @@ class EnvMap:
             [prob, alias_idx.astype(np.float32),
              pb_flat, pb_flat[alias_idx]], -1))
 
-        pdf_corners = _pack_radiance_corners(
-            jnp.asarray(pb)[..., None])              # (H*W, 4)
-        packed = jnp.concatenate(
-            [_pack_radiance_corners(radiance), pdf_corners], -1)
+        if filter == "nearest":
+            packed = jnp.concatenate(
+                [radiance.reshape(h * w, 3),
+                 jnp.asarray(pb_flat)[:, None]], -1)          # (H*W, 4)
+        else:
+            pdf_corners = _pack_radiance_corners(
+                jnp.asarray(pb)[..., None])                   # (H*W, 4)
+            packed = jnp.concatenate(
+                [_pack_radiance_corners(radiance), pdf_corners], -1)
         if rotation is not None:
             rotation = jnp.asarray(rotation, jnp.float32)
         return cls(radiance=radiance, packed=packed, alias=alias_tab,
                    rot=rotation)
 
+    @property
+    def _nearest(self) -> bool:
+        return self.packed.shape[-1] == 4
+
     def rebind(self, radiance):
         """Return an EnvMap whose radiance (and packed radiance
-        corners) are ``radiance`` — traceable and differentiable —
+        texels) are ``radiance`` — traceable and differentiable —
         while the sampling structure (alias table and pdf bins) stays
         frozen at build time. The detached-sampler form of inverse
         lighting: still unbiased (pdfs describe the actual sampler),
         gradients flow through every radiance evaluation."""
         radiance = jnp.asarray(radiance, jnp.float32)
-        packed = jnp.concatenate(
-            [_pack_radiance_corners(radiance),
-             jax.lax.stop_gradient(self.packed[:, 12:])], -1)
+        h, w = radiance.shape[:2]
+        if self._nearest:
+            packed = jnp.concatenate(
+                [radiance.reshape(h * w, 3),
+                 jax.lax.stop_gradient(self.packed[:, 3:])], -1)
+        else:
+            packed = jnp.concatenate(
+                [_pack_radiance_corners(radiance),
+                 jax.lax.stop_gradient(self.packed[:, 12:])], -1)
         return self.replace(radiance=radiance, packed=packed)
 
     @staticmethod
@@ -169,10 +204,17 @@ class EnvMap:
 
     # -- cells ---------------------------------------------------------
     def _cell_from_grid(self, tg, pg):
-        """Base-cell row index + bilinear fractions from LOCAL grid
+        """Packed-row index + filter fractions from LOCAL grid
         coordinates (tg = theta*H/pi in [0,H], pg = phi*W/2pi) —
-        trig-free (the sampler knows its grid position exactly)."""
+        trig-free (the sampler knows its grid position exactly).
+        Bilinear: the half-shifted base cell + in-cell fractions;
+        nearest: the direction's own bin, fractions unused."""
         h, w = self.radiance.shape[:2]
+        if self._nearest:
+            j0 = jnp.clip(jnp.floor(tg).astype(jnp.int32), 0, h - 1)
+            i0 = jnp.mod(jnp.floor(pg).astype(jnp.int32), w)
+            zero = jnp.zeros_like(tg)
+            return j0 * w + i0, zero, zero
         t1 = jnp.clip(tg - 0.5, 0.0, h - 1.0)
         t2 = pg - 0.5
         j0 = jnp.minimum(jnp.floor(t1).astype(jnp.int32), h - 1)
@@ -198,10 +240,13 @@ class EnvMap:
         return idx, f1, f2, sin_t
 
     def _lookup(self, idx, f1, f2):
-        """ONE issued row gather: bilinear radiance (periodic in phi,
-        clamped in theta) + the direction's exact pdf bin (the
-        unshifted-grid bin is always one of the 4 packed corners,
-        selected by the half-cell bits)."""
+        """ONE issued row gather: radiance + the direction's exact pdf
+        bin. Bilinear mode interpolates the 4 packed corner texels
+        (periodic in phi, clamped in theta) and selects the true bin
+        by the half-cell bits; nearest mode reads [r, g, b, pb]."""
+        if self._nearest:
+            row = jnp.take(self.packed, idx, axis=0)        # (..., 4)
+            return row[..., 0], row[..., 1], row[..., 2], row[..., 3]
         row = jnp.take(self.packed, idx, axis=0)            # (..., 16)
         f1e = f1[..., None]
         f2e = f2[..., None]
@@ -223,7 +268,7 @@ class EnvMap:
         return r, g, b, pb / sin_t
 
     def eval(self, dx, dy, dz):
-        """Bilinear radiance only. Returns (r, g, b)."""
+        """Filtered radiance only. Returns (r, g, b)."""
         r, g, b, _ = self.eval_with_pdf(dx, dy, dz)
         return r, g, b
 

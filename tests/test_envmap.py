@@ -205,6 +205,57 @@ def test_sampler_statistics_production_scale(rng):
     np.testing.assert_allclose(est, riemann, rtol=0.03)
 
 
+def test_nearest_filter_mode(rng):
+    """filter="nearest" (auto-selected for production maps: 16-byte
+    packed rows, 2x the HBM gather rate): sampler statistics stay
+    exact, eval returns the texel values, rebind preserves the
+    layout."""
+    img = np.asarray(_sun_sky())
+    em_n = EnvMap.build(jnp.asarray(img), filter="nearest")
+    em_b = EnvMap.build(jnp.asarray(img), filter="bilinear")
+    assert em_n.packed.shape[-1] == 4 and em_b.packed.shape[-1] == 16
+    # auto: small maps bilinear, big maps nearest
+    assert EnvMap.build(jnp.asarray(img)).packed.shape[-1] == 16
+    big = jnp.ones((512, 1024, 3), jnp.float32)
+    assert EnvMap.build(big).packed.shape[-1] == 4
+
+    n = 1 << 16
+    u = [jnp.asarray(rng.uniform(0, 1, n), jnp.float32) for _ in range(3)]
+    dx, dy, dz, pdf = jax.jit(em_n.sample)(*u)
+    # same draws as bilinear mode (the sampler is filter-independent)
+    dxb, dyb, dzb, pdfb = jax.jit(em_b.sample)(*u)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dxb))
+    np.testing.assert_array_equal(np.asarray(pdf), np.asarray(pdfb))
+
+    # E[L/pdf] with nearest eval == the Riemann sum exactly in
+    # expectation (texel value x exact bin density)
+    r, g, b = jax.jit(em_n.eval)(dx, dy, dz)
+    est = (np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+           / np.asarray(pdf)[:, None]).mean(0)
+    h, w = img.shape[:2]
+    theta_c = (np.arange(h) + 0.5) * np.pi / h
+    riemann = (img * np.sin(theta_c)[:, None, None]).sum((0, 1)) \
+        * (np.pi / h) * (2 * np.pi / w)
+    np.testing.assert_allclose(est, riemann, rtol=0.03)
+
+    # renders agree statistically with the bilinear-mode map
+    sphere, floor = _scene()
+    kw = dict(res=24, spp=8, max_bounces=2)
+    args = (sphere, floor, jnp.asarray([0.0, 0.0, 1.0]),
+            jnp.zeros(3), jnp.zeros(3))
+    a = np.asarray(pathtrace.render(*args, envmap=em_n, **kw))
+    bimg = np.asarray(pathtrace.render(*args, envmap=em_b, **kw))
+    np.testing.assert_allclose(a.mean(), bimg.mean(), rtol=0.05)
+
+    # rebind keeps the nearest layout + gradients flow
+    em2 = em_n.rebind(jnp.asarray(img) * 2.0)
+    assert em2.packed.shape[-1] == 4
+    g = jax.grad(lambda rad: sum(
+        jnp.sum(x) for x in em_n.rebind(rad).eval(dx, dy, dz)))(
+            jnp.asarray(img))
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
 def test_envmap_rotation_matches_rolled_map(rng):
     """Rotating the emitter about +z by k column widths equals rolling
     the map k columns (the reference scenes orient their emitters via

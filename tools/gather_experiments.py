@@ -295,8 +295,47 @@ def utia_combine_experiments():
     timed("utia per-channel strided slices", sliced, u, i, o, per=n)
 
 
+def envmap_onehot_experiments():
+    """Can a SMALL envmap's packed-row lookup beat the gather via a
+    one-hot MXU contraction? (VERDICT r4 #3 candidate reformulation.)
+    A 32x64 map's packed table is (2048, 16) — 128 KB, VMEM-class —
+    so `onehot(N, 2048) @ table` replaces the gather with a matmul.
+    The catch this measures: building the one-hot needs an N x 2048
+    compare against an iota, which is VPU work proportional to
+    N * bins — the construction dwarfs the gather it replaces, and
+    bf16-ing the matmul does not touch that term."""
+    h, w = 32, 64
+    bins = h * w
+    n = 1 << 20
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    packed = jax.random.uniform(k1, (bins, 16), jnp.float32)
+    idx = jax.random.randint(k2, (n,), 0, bins, jnp.int32)
+
+    def g0(idx):
+        return jnp.take(packed, idx, axis=0)
+    timed("gather packed row (baseline)", g0, idx, per=n)
+
+    def oh_f32(idx):
+        oh = jax.nn.one_hot(idx, bins, dtype=jnp.float32)
+        return oh @ packed
+    timed("one-hot f32 @ packed", oh_f32, idx, per=n)
+
+    def oh_bf16(idx):
+        oh = jax.nn.one_hot(idx, bins, dtype=jnp.bfloat16)
+        return (oh @ packed.astype(jnp.bfloat16)).astype(jnp.float32)
+    timed("one-hot bf16 @ packed (MXU)", oh_bf16, idx, per=n)
+
+    # construction alone, to attribute the cost
+    def oh_only(idx):
+        return jax.nn.one_hot(idx, bins, dtype=jnp.bfloat16).sum(-1)
+    timed("one-hot construction only", oh_only, idx, per=n)
+
+
 if __name__ == "__main__":
     if "--utia" in sys.argv:
         utia_combine_experiments()
+    elif "--envmap-onehot" in sys.argv:
+        envmap_onehot_experiments()
     else:
         main()
