@@ -60,16 +60,16 @@ class FilteredBeckmannMaterial:
                                self.lean_filtering, self.biased)
 
     def pvec_provider(self):
-        """Closure ``(uu, vv) -> (8, N)`` for the path tracer's fused
-        loop when ``lean`` holds full (H, W) moment maps: fetch the 5
-        LEAN moments at the per-hit uv (ONE packed row gather),
-        unbias/combine/convert exactly as :func:`filtered_params` —
-        the per-shading-point LEAN fetch the reference runs inside any
+        """Per-hit provider for the path tracer's fused loop when
+        ``lean`` holds full (H, W) moment maps: the 5 LEAN moments
+        pack into one (H*W, 5) table (once per trace, outside the
+        bounce scan), and ``assemble`` unbiases/combines/converts a
+        fetched row exactly as :func:`filtered_params` — the
+        per-shading-point LEAN fetch the reference runs inside any
         Mitsuba integrator (dj_beckmannconductor.cpp:280-428). Fresnel
         rides separately as the exact conductor form (pvec f0 rows are
-        unused). The 5 maps pack once per trace, outside the bounce
-        scan."""
-        from dj_brdf_tpu.render.materials import _fetch_rows
+        unused)."""
+        from dj_brdf_tpu.render.materials import TextureProvider
         from dj_brdf_tpu.render.pathtrace import _stack_pvec
 
         h, w = self.lean.E1.shape
@@ -77,8 +77,7 @@ class FilteredBeckmannMaterial:
                             self.lean.E4, self.lean.E5], -1).reshape(-1, 5)
         scale = 1.0 if self.dmap_scale is None else self.dmap_scale
 
-        def pvec_at(uu, vv):
-            row = _fetch_rows(packed, h, w, uu, vv)
+        def assemble(row):
             lean_px = Lrep(E1=row[..., 0], E2=row[..., 1], E3=row[..., 2],
                            E4=row[..., 3], E5=row[..., 4])
             p = filtered_params(lean_px, self.base_params, scale,
@@ -86,7 +85,10 @@ class FilteredBeckmannMaterial:
             return _stack_pvec(p.ax, p.ay, p.rho, p.txn, p.tyn,
                                0.0, 0.0, 0.0)
 
-        return pvec_at
+        # identity-ish moments: zero mean slopes, unit second moments
+        neutral = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0], jnp.float32)
+        return TextureProvider(packed=packed, h=h, w=w,
+                               assemble=assemble, neutral=neutral)
 
     def evalp(self, i, o):
         """f_r*cos with exact conductor Fresnel on top (reference

@@ -19,6 +19,8 @@ path tracer or our sphere renderer consumes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from dj_brdf_tpu.core.math import cosine_hemisphere_sample, dot, normalize
@@ -103,9 +105,33 @@ def _fetch_rows(packed, h, w, uu, vv):
     """Nearest-texel row gather of a flat (H*W, k) packed texture at
     normalized uv (the sample_texture convention; differentiable
     w.r.t. the texels)."""
+    return jnp.take(packed, texel_index(h, w, uu, vv), axis=0)
+
+
+def texel_index(h, w, uu, vv):
+    """Flat nearest-texel index at normalized uv."""
     yi = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
     xi = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
-    return jnp.take(packed, yi * w + xi, axis=0)
+    return yi * w + xi
+
+
+class TextureProvider(NamedTuple):
+    """A textured material's per-hit parameter source for the fused
+    path tracer: ``packed`` (H*W, k) rows fetched at the hit's texel
+    (None for an all-scalar material), and ``assemble(row) -> (8, N)``
+    turning a fetched row into the kernels' pvec. Exposing the packed
+    table (rather than a fetch closure) lets the render loop COMBINE
+    both materials' tables into one and serve sphere and floor lanes
+    — disjoint populations — with a single gather per bounce.
+    ``neutral``: a (k,) row of safe values substituted on the OTHER
+    material's lanes before assembly, so garbage cross-material bytes
+    never reach assemble's math (whose reverse-mode would turn
+    0-cotangent x inf-derivative into NaN)."""
+    packed: object
+    h: int
+    w: int
+    assemble: object
+    neutral: object
 
 
 @pytree_dataclass
@@ -141,12 +167,11 @@ class TexturedMicrofacetMaterial:
         fam = "beck" if type(self.dist) is _Beck else "ggx"
         return fam, isinstance(self.dist, _Caps)
 
-    def pvec_provider(self):
-        """Closure ``(uu, vv) -> (8, N)``: fetch the textured alphas
-        at per-hit uv (one packed gather), convert the elliptic frame
-        to PDF parameters, append the Schlick f0. Texture packing
-        happens here, once per trace, so it stays out of the bounce
-        scan."""
+    def pvec_provider(self) -> "TextureProvider":
+        """Per-hit parameter provider: the textured alphas pack into
+        one (H*W, k) table (built here, once per trace, so it stays
+        out of the bounce scan); ``assemble`` converts a fetched row's
+        elliptic frame to PDF parameters and appends the Schlick f0."""
         leaves = [("a1", self.alpha1), ("a2", self.alpha2),
                   ("ang", self.alpha_angle)]
         texs = [(k, jnp.asarray(v, jnp.float32)) for k, v in leaves
@@ -163,10 +188,7 @@ class TexturedMicrofacetMaterial:
             cols = {k: i for i, (k, _) in enumerate(texs)}
         f0 = jnp.asarray(self.fres.f0, jnp.float32)
 
-        def pvec_at(uu, vv):
-            row = (_fetch_rows(packed, h, w, uu, vv)
-                   if packed is not None else None)
-
+        def assemble(row):
             def get(key, leaf):
                 if cols is not None and key in cols:
                     return row[..., cols[key]]
@@ -179,7 +201,10 @@ class TexturedMicrofacetMaterial:
             return _stack_pvec(p.ax, p.ay, p.rho, p.txn, p.tyn,
                                f0[0], f0[1], f0[2])
 
-        return pvec_at
+        neutral = (jnp.full((len(texs),), 0.3, jnp.float32)
+                   if texs else None)
+        return TextureProvider(packed=packed, h=h, w=w,
+                               assemble=assemble, neutral=neutral)
 
 
 @pytree_dataclass

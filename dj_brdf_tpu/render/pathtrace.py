@@ -218,16 +218,67 @@ def _check_no_textured_fallback(mats):
                 " — the generic loop cannot fetch per-hit textures")
 
 
-def _resolve_scene(infos, is_sphere, px, py, pz):
+def _texture_ctx(infos):
+    """When BOTH materials carry packed textures, pad their tables to
+    a common width and concatenate them once (outside the bounce scan)
+    — sphere and floor lanes are disjoint, so one gather per bounce
+    serves both materials' fetches. Returns (combined, row_offset,
+    widths) or None."""
+    provs = [getattr(info, "pvec_at", None) for info in infos]
+    if any(p is None or p.packed is None for p in provs):
+        return None
+    k0 = provs[0].packed.shape[1]
+    k1 = provs[1].packed.shape[1]
+    k = max(k0, k1)
+
+    def pad(p):
+        t = p.packed
+        if t.shape[1] < k:
+            t = jnp.pad(t, ((0, 0), (0, k - t.shape[1])))
+        return t
+
+    combined = jnp.concatenate([pad(provs[0]), pad(provs[1])], axis=0)
+    return combined, provs[0].packed.shape[0], (k0, k1)
+
+
+def _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz):
     """Per-lane (8, N) pvec + Fresnel closure for a bounce's hit
-    points: textured materials fetch their maps at the per-hit uv
-    (ONE packed row gather per textured material), uniform materials
-    broadcast — the bounce-loop half of the reference's per-shading-
-    point texture evaluation (dj_brdf.cpp:353-357)."""
-    if any(info.pvec is None for info in infos):
+    points: textured materials fetch their maps at the per-hit uv,
+    uniform materials broadcast — the bounce-loop half of the
+    reference's per-shading-point texture evaluation
+    (dj_brdf.cpp:353-357). With two textured materials the fetch is
+    ONE combined gather (``tex_ctx``); otherwise one per textured
+    material."""
+    from dj_brdf_tpu.render.materials import texel_index
+
+    textured = [info.pvec is None for info in infos]
+    if any(textured):
         uu, vv = _hit_uv(is_sphere, px, py, pz)
-    pvs = [info.pvec if info.pvec is not None else info.pvec_at(uu, vv)
-           for info in infos]
+    if tex_ctx is not None:
+        combined, off, (k0, k1) = tex_ctx
+        p0, p1 = infos[0].pvec_at, infos[1].pvec_at
+        idx0 = texel_index(p0.h, p0.w, uu, vv)
+        idx1 = texel_index(p1.h, p1.w, uu, vv) + off
+        row = jnp.take(combined, jnp.where(is_sphere, idx0, idx1),
+                       axis=0)
+        # off-lane bytes belong to the OTHER material; substitute each
+        # provider's neutral row there so its assembly math never sees
+        # garbage (keeps reverse-mode free of 0 * inf NaNs)
+        m = is_sphere[..., None]
+        pvs = [p0.assemble(jnp.where(m, row[..., :k0], p0.neutral)),
+               p1.assemble(jnp.where(m, p1.neutral, row[..., :k1]))]
+    else:
+        from dj_brdf_tpu.render.materials import _fetch_rows
+
+        def resolve(info):
+            if info.pvec is not None:
+                return info.pvec
+            p = info.pvec_at
+            if p.packed is None:
+                return p.assemble(None)
+            return p.assemble(_fetch_rows(p.packed, p.h, p.w, uu, vv))
+
+        pvs = [resolve(info) for info in infos]
     pv = _select_pvec(is_sphere, *pvs)
     return pv, _make_fres_fn(infos, is_sphere, pv)
 
@@ -675,6 +726,7 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
     u = jnp.moveaxis(u, -1, 1)
     u_env = jnp.moveaxis(u_env, -1, 1)
     off = _EPS * 3.0
+    tex_ctx = _texture_ctx(infos)
 
     def bounce(carry, u_b):
         (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
@@ -735,7 +787,7 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
                                jnp.broadcast_to(ldz, sox.shape))[0]
         lit = ~s_hit
 
-        pv, fres_fn = _resolve_scene(infos, is_sphere, px, py, pz)
+        pv, fres_fn = _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz)
         (fr, fg, fb, pdf_nee, wr, wg, wb, ixl, iyl, izl,
          pdf) = _fused_nee_pdf_and_sample(
             infos, pv, fres_fn, is_sphere, (lx, ly, lz), u_bsdf[0],
@@ -810,6 +862,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     bit-identical to the per-ray computation (same ops, same
     inputs)."""
     n_rays = rd.shape[0]
+    tex_ctx = _texture_ctx(infos)
     # (B, N, 2) -> (B, 2, N): slices of the minor-dim-2 layout are
     # strided AoS reads; transpose once outside the scan instead
     u = jnp.moveaxis(u, -1, 1)
@@ -848,7 +901,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                                jnp.broadcast_to(ldz, sox.shape))[0]
         lit = ~s_hit
 
-        pv, fres_fn = _resolve_scene(infos, is_sphere, px, py, pz)
+        pv, fres_fn = _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz)
         fr, fg, fb, wr, wg, wb, ixl, iyl, izl, pdf = _fused_nee_and_sample(
             infos, pv, fres_fn, is_sphere, (lx, ly, lz), u_b[0], u_b[1],
             (ox, oy, oz))
@@ -932,7 +985,8 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                              jnp.broadcast_to(ldx, sox_p.shape),
                              jnp.broadcast_to(ldy, sox_p.shape),
                              jnp.broadcast_to(ldz, sox_p.shape))[0]
-    pv_p, fres_p = _resolve_scene(infos, is_sph_p, px_p, py_p, pz_p)
+    pv_p, fres_p = _resolve_scene(infos, tex_ctx, is_sph_p, px_p, py_p,
+                                  pz_p)
     fr_p, fg_p, fb_p = _fused_nee_eval(infos, pv_p, fres_p, is_sph_p,
                                        (lx_p, ly_p, lz_p),
                                        (ox_p, oy_p, oz_p))
