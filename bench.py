@@ -211,7 +211,7 @@ def main() -> None:
     # (kernel + chain rule + adam). If the capture says otherwise the
     # headline run was jitter-degraded — re-measure it.
     retries = 0
-    while (_FIT_STEP_RATE.get("v", 0.0) > evals_per_s and retries < 2):
+    while (_FIT_STEP_RATE.get("v", 0.0) > evals_per_s and retries < 4):
         print(f"# INVARIANT VIOLATION: fit step {_FIT_STEP_RATE['v']:.3e} "
               f"> bare kernel {evals_per_s:.3e}; re-measuring headline",
               file=sys.stderr)

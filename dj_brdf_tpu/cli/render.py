@@ -105,6 +105,14 @@ def main(argv=None) -> int:
 
     textured = args.alpha1_map or args.alpha2_map or args.alpha_angle_map
     tab_textured_params = None
+    if args.pathtrace and args.floor_model == "lambert" and (
+            textured or args.model == "lean"):
+        # textured/LEAN materials run only in the fused SoA loop, and
+        # the default lambert floor is not fused-capable — fail at
+        # parse time with the fix, not mid-trace
+        ap.error("textured roughness / LEAN maps under --pathtrace need "
+                 "a fused-capable floor: add --floor-model "
+                 "{ggx,beckmann,lean}")
     if textured:
         if args.pathtrace:
             # per-hit texture fetch inside the bounce loop (the

@@ -91,6 +91,9 @@ def ggx_lsq_value_and_grad(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
     :func:`pad_to_block`, and pass the true count as ``n_valid``).
     ``adjoint`` selects the in-kernel backward: "hand" (analytic,
     default) or "ad" (jax.vjp cross-check, GGX only)."""
+    if adjoint == "ad" and family != "ggx":
+        raise ValueError("adjoint='ad' cross-check exists for the GGX "
+                         f"loss only, got family={family!r}")
     n = ix.size
     rows = n // LANES
     assert rows * LANES == n and rows % block_rows == 0, (n, block_rows)

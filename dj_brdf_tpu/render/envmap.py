@@ -110,7 +110,7 @@ class EnvMap:
         row (64-byte rows); "nearest" packs [r, g, b, pdf_bin]
         (16-byte rows — 2x the gather rate on HBM-resident production
         maps, where a texel is far below a pixel anyway); "auto"
-        picks nearest for maps over 64 K texels."""
+        picks nearest for maps over 256 K texels (2^18 bins)."""
         if isinstance(radiance, jax.core.Tracer):
             raise TypeError(
                 "EnvMap.build needs concrete radiance (host-side alias "
@@ -124,6 +124,9 @@ class EnvMap:
             filter = "nearest" if h * w > cls.NEAREST_AUTO_BINS \
                 else "bilinear"
         rad_np = np.asarray(radiance)
+        if not np.isfinite(rad_np).all():
+            raise ValueError(
+                "EnvMap.build: radiance contains non-finite values")
         lum = np.maximum(rad_np, 0.0).mean(-1) + 1e-12
         sin_rows = np.sin((np.arange(h) + 0.5) * (np.pi / h))
         mass = lum * sin_rows[:, None]
@@ -133,12 +136,19 @@ class EnvMap:
         try:
             from dj_brdf_tpu.io import native
             prob, alias_idx = native.build_alias(mass)
+        except ValueError:
+            raise      # the native builder's mass validation is real
         except Exception:
-            prob, alias_idx = _build_alias_np(mass)
+            prob, alias_idx = _build_alias_np(mass)  # no toolchain
         pb_flat = pb.reshape(-1)
+        # the partner index rides in the f32 row as its raw int32 BIT
+        # PATTERN (bitcast on read) — a float-valued index would round
+        # above 2^24 bins and silently redirect draws to neighboring
+        # bins on 8K-class maps
+        alias_bits = np.ascontiguousarray(alias_idx,
+                                          np.int32).view(np.float32)
         alias_tab = jnp.asarray(np.stack(
-            [prob, alias_idx.astype(np.float32),
-             pb_flat, pb_flat[alias_idx]], -1))
+            [prob, alias_bits, pb_flat, pb_flat[alias_idx]], -1))
 
         if filter == "nearest":
             packed = jnp.concatenate(
@@ -301,7 +311,8 @@ class EnvMap:
         row = jnp.take(self.alias, idx, axis=0)             # (..., 4)
         prob = row[..., 0]
         take = frac < prob
-        bin_ = jnp.where(take, idx, row[..., 1].astype(jnp.int32))
+        alias_idx = jax.lax.bitcast_convert_type(row[..., 1], jnp.int32)
+        bin_ = jnp.where(take, idx, alias_idx)
         pb = jnp.where(take, row[..., 2], row[..., 3])
         j = bin_ // w
         i = bin_ - j * w

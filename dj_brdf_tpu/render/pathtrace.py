@@ -130,7 +130,13 @@ def _fused_info(mat):
                 and len({x.shape for x in leaves}) == 1):
             return _FusedInfo("beck", False, None, mat.pvec_provider(),
                               cond)
-        return None
+        # mixed scalar/map moments (or mismatched map shapes) have no
+        # sensible per-hit fetch — fail loudly instead of falling into
+        # the generic loop's broadcasting error
+        raise ValueError(
+            "FilteredBeckmannMaterial LEAN moments must be all scalar "
+            "or all (H, W) maps of one shape for the path tracer; got "
+            f"shapes {[getattr(x, 'shape', ()) for x in leaves]}")
     return None
 
 
@@ -208,7 +214,9 @@ def _check_no_textured_fallback(mats):
     for mat in mats:
         textured = isinstance(mat, TexturedMicrofacetMaterial) or (
             isinstance(mat, FilteredBeckmannMaterial)
-            and getattr(mat.lean.E1, "ndim", 0) == 2)
+            and any(getattr(x, "ndim", 0) == 2 for x in
+                    (mat.lean.E1, mat.lean.E2, mat.lean.E3,
+                     mat.lean.E4, mat.lean.E5)))
         if textured:
             raise ValueError(
                 f"{type(mat).__name__} with texture maps needs the fused "

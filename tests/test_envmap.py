@@ -154,6 +154,34 @@ def test_envmap_gradient_inverse_lighting():
     assert np.abs(g).max() > 0
 
 
+def test_envmap_build_rejects_nonfinite():
+    """A NaN texel fails loudly at build (the native builder's mass
+    validation must not be swallowed into a silent NaN sampler)."""
+    import pytest
+    img = np.ones((4, 8, 3), np.float32)
+    img[1, 2, 0] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        EnvMap.build(jnp.asarray(img))
+
+
+def test_alias_index_bitcast_exact(rng):
+    """Alias partner indices ride as int32 BIT PATTERNS in the f32
+    row (float values would round above 2^24 bins); the stored bits
+    recover the exact index, including denormal-range patterns."""
+    img = (rng.uniform(0.01, 1.0, (64, 128, 3)) ** 4).astype(np.float32)
+    em = EnvMap.build(jnp.asarray(img))
+    got = np.asarray(em.alias[:, 1]).view(np.int32)
+    n = 64 * 128
+    assert got.min() >= 0 and got.max() < n
+    # re-derive the table on the host and compare exactly
+    from dj_brdf_tpu.io import native
+    lum = np.maximum(img, 0).mean(-1) + 1e-12
+    sin_rows = np.sin((np.arange(64) + 0.5) * np.pi / 64)
+    mass = lum * sin_rows[:, None]
+    _, alias_idx = native.build_alias(mass / mass.sum())
+    np.testing.assert_array_equal(got, alias_idx)
+
+
 def test_envmap_build_rejects_tracer():
     """build inside a trace points the user at rebind."""
     import pytest

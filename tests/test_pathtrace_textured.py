@@ -197,6 +197,20 @@ def test_matpreview_composition():
     assert img.mean() > 0.0
 
 
+def test_partially_textured_lean_raises():
+    """Mixed scalar/map LEAN moments have no sensible per-hit fetch;
+    the dispatcher fails with a clear error instead of a broadcasting
+    crash inside the scan."""
+    mixed = FilteredBeckmannMaterial(
+        lean=Lrep(E1=jnp.asarray(0.0), E2=jnp.asarray(0.0),
+                  E3=jnp.full((4, 4), 0.05, jnp.float32),
+                  E4=jnp.asarray(0.05), E5=jnp.asarray(0.0)),
+        base_params=MicrofacetParams.isotropic(0.2),
+        eta=GOLD_ETA, k=GOLD_K)
+    with pytest.raises(ValueError, match="all scalar or all"):
+        _render(mixed, _floor())
+
+
 def test_textured_with_unfusable_floor_raises():
     """Textured materials need the fused SoA loop; pairing with a
     non-fused material raises a clear error instead of crashing."""
