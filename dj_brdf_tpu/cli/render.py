@@ -54,6 +54,11 @@ def main(argv=None) -> int:
                     help="maps carry the +25/+625 storage bias")
     ap.add_argument("--mip", type=int, default=0,
                     help="LEAN mip level to shade with")
+    ap.add_argument("--lean-lod", action="store_true",
+                    help="with --pathtrace: select the LEAN mip level "
+                         "per hit from the ray-cone footprint "
+                         "(automatic minification filtering; the role "
+                         "of Mitsuba's mip machinery)")
     ap.add_argument("--light", type=float, nargs=3, default=[0.3, 0.4, 0.8])
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--exposure", type=float, default=1.0)
@@ -272,7 +277,8 @@ def main(argv=None) -> int:
             eta=jnp.asarray(args.eta, jnp.float32),
             k=jnp.asarray(args.k, jnp.float32),
             dmap_scale=jnp.float32(args.dmap_scale),
-            lean_filtering=not args.naive_mip, biased=args.biased)
+            lean_filtering=not args.naive_mip, biased=args.biased,
+            mip_lod=args.lean_lod and args.pathtrace)
 
     if args.conductor and isinstance(mat, MicrofacetMaterial):
         # fresnelConductorExact multiplied on top (dj_brdf.cpp:366, 430)
@@ -308,7 +314,8 @@ def main(argv=None) -> int:
                 eta=jnp.asarray(args.eta, jnp.float32),
                 k=jnp.asarray(args.k, jnp.float32),
                 dmap_scale=jnp.float32(args.dmap_scale),
-                lean_filtering=not args.naive_mip, biased=args.biased)
+                lean_filtering=not args.naive_mip, biased=args.biased,
+                mip_lod=args.lean_lod)
         em = None
         if args.envmap:
             from dj_brdf_tpu.io.hdr import load_radiance_any

@@ -53,6 +53,12 @@ class FilteredBeckmannMaterial:
     dmap_scale: jnp.ndarray = None
     lean_filtering: bool = static_field(default=True)
     biased: bool = static_field(default=False)
+    #: fetch from a mip pyramid selected by the path tracer's per-ray
+    #: footprint (ray-cone LOD) instead of always level 0 — the LEAN
+    #: minification story (the reference gets this from Mitsuba's mip
+    #: machinery + its leanFiltering toggle; here the pyramid is the
+    #: moment average, exact for the mixture of texel NDFs)
+    mip_lod: bool = static_field(default=False)
 
     def params(self) -> MicrofacetParams:
         scale = 1.0 if self.dmap_scale is None else self.dmap_scale
@@ -69,13 +75,52 @@ class FilteredBeckmannMaterial:
         Mitsuba integrator (dj_beckmannconductor.cpp:280-428). Fresnel
         rides separately as the exact conductor form (pvec f0 rows are
         unused)."""
-        from dj_brdf_tpu.render.materials import TextureProvider
+        import numpy as np
+
+        from dj_brdf_tpu.render.materials import (TextureProvider,
+                                                  texel_index)
         from dj_brdf_tpu.render.pathtrace import _stack_pvec
 
         h, w = self.lean.E1.shape
-        packed = jnp.stack([self.lean.E1, self.lean.E2, self.lean.E3,
-                            self.lean.E4, self.lean.E5], -1).reshape(-1, 5)
         scale = 1.0 if self.dmap_scale is None else self.dmap_scale
+
+        def pack(lrep):
+            return jnp.stack([lrep.E1, lrep.E2, lrep.E3, lrep.E4,
+                              lrep.E5], -1).reshape(-1, 5)
+
+        if self.mip_lod:
+            # flatten the moment pyramid level-major; per-lane level
+            # select costs three tiny (L,) gathers for (offset, h, w)
+            from dj_brdf_tpu.lean.maps import mip_reduce
+            levels = [self.lean]
+            while (levels[-1].E1.shape[0] % 2 == 0
+                   and levels[-1].E1.shape[1] % 2 == 0
+                   and levels[-1].E1.shape[0] > 1
+                   and levels[-1].E1.shape[1] > 1):
+                levels.append(mip_reduce(levels[-1]))
+            packs = [pack(l) for l in levels]
+            packed = jnp.concatenate(packs, axis=0)
+            sizes = [p.shape[0] for p in packs]
+            off_t = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
+            h_t = jnp.asarray([l.E1.shape[0] for l in levels], jnp.int32)
+            w_t = jnp.asarray([l.E1.shape[1] for l in levels], jnp.int32)
+            n_levels = len(levels)
+
+            def index(uu, vv, lod=None):
+                if lod is None:
+                    return texel_index(h, w, uu, vv)
+                lvl = jnp.clip(jnp.round(lod).astype(jnp.int32), 0,
+                               n_levels - 1)
+                h_l = jnp.take(h_t, lvl)
+                w_l = jnp.take(w_t, lvl)
+                yi = jnp.clip((vv * h_l).astype(jnp.int32), 0, h_l - 1)
+                xi = jnp.clip((uu * w_l).astype(jnp.int32), 0, w_l - 1)
+                return jnp.take(off_t, lvl) + yi * w_l + xi
+        else:
+            packed = pack(self.lean)
+
+            def index(uu, vv, lod=None):
+                return texel_index(h, w, uu, vv)
 
         def assemble(row):
             lean_px = Lrep(E1=row[..., 0], E2=row[..., 1], E3=row[..., 2],
@@ -88,7 +133,8 @@ class FilteredBeckmannMaterial:
         # identity-ish moments: zero mean slopes, unit second moments
         neutral = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0], jnp.float32)
         return TextureProvider(packed=packed, h=h, w=w,
-                               assemble=assemble, neutral=neutral)
+                               assemble=assemble, neutral=neutral,
+                               index=index, wants_lod=self.mip_lod)
 
     def evalp(self, i, o):
         """f_r*cos with exact conductor Fresnel on top (reference

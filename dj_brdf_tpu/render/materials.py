@@ -117,21 +117,27 @@ def texel_index(h, w, uu, vv):
 
 class TextureProvider(NamedTuple):
     """A textured material's per-hit parameter source for the fused
-    path tracer: ``packed`` (H*W, k) rows fetched at the hit's texel
-    (None for an all-scalar material), and ``assemble(row) -> (8, N)``
-    turning a fetched row into the kernels' pvec. Exposing the packed
-    table (rather than a fetch closure) lets the render loop COMBINE
-    both materials' tables into one and serve sphere and floor lanes
-    — disjoint populations — with a single gather per bounce.
+    path tracer: ``packed`` (rows, k) — the texture rows, possibly a
+    whole mip pyramid flattened level-major — fetched at indices from
+    ``index(uu, vv, lod)``; ``assemble(row) -> (8, N)`` turns a
+    fetched row into the kernels' pvec. Exposing the packed table
+    (rather than a fetch closure) lets the render loop COMBINE both
+    materials' tables into one and serve sphere and floor lanes —
+    disjoint populations — with a single gather per bounce.
+
     ``neutral``: a (k,) row of safe values substituted on the OTHER
     material's lanes before assembly, so garbage cross-material bytes
     never reach assemble's math (whose reverse-mode would turn
-    0-cotangent x inf-derivative into NaN)."""
+    0-cotangent x inf-derivative into NaN). ``wants_lod``: True when
+    ``index`` uses the per-lane ray-cone LOD (mip pyramids); the
+    render loop only computes footprints when some provider asks."""
     packed: object
     h: int
     w: int
     assemble: object
     neutral: object
+    index: object
+    wants_lod: bool = False
 
 
 @pytree_dataclass
@@ -203,8 +209,13 @@ class TexturedMicrofacetMaterial:
 
         neutral = (jnp.full((len(texs),), 0.3, jnp.float32)
                    if texs else None)
+
+        def index(uu, vv, lod=None):
+            return texel_index(h, w, uu, vv)
+
         return TextureProvider(packed=packed, h=h, w=w,
-                               assemble=assemble, neutral=neutral)
+                               assemble=assemble, neutral=neutral,
+                               index=index)
 
 
 @pytree_dataclass

@@ -249,24 +249,44 @@ def _texture_ctx(infos):
     return combined, provs[0].packed.shape[0], (k0, k1)
 
 
-def _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz):
+def _needs_lod(infos):
+    """True when some provider fetches from a mip pyramid (ray-cone
+    LOD); the render loops only track footprints then."""
+    return any(info is not None and info.pvec_at is not None
+               and info.pvec_at.wants_lod for info in infos)
+
+
+def _lod_for(provider, is_sphere, cone_w):
+    """Per-lane mip level from the ray cone's world-space width: the
+    uv footprint is width x du/dworld of the hit geometry (sphere
+    equator: 1/2pi; plane: the uv tiling scale), and the level is
+    log2 of that footprint in base-level texels — the standard
+    ray-cones texture LOD (isotropic-footprint approximation;
+    incidence elongation ignored)."""
+    if cone_w is None or not provider.wants_lod:
+        return None
+    fp_uv = cone_w * jnp.where(is_sphere, 1.0 / (2.0 * jnp.pi),
+                               PLANE_UV_SCALE)
+    return jnp.log2(jnp.maximum(fp_uv * provider.w, 1e-9))
+
+
+def _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz, cone_w=None):
     """Per-lane (8, N) pvec + Fresnel closure for a bounce's hit
-    points: textured materials fetch their maps at the per-hit uv,
-    uniform materials broadcast — the bounce-loop half of the
+    points: textured materials fetch their maps at the per-hit uv
+    (mip level from the ray-cone footprint when the provider wants
+    LOD), uniform materials broadcast — the bounce-loop half of the
     reference's per-shading-point texture evaluation
     (dj_brdf.cpp:353-357). With two textured materials the fetch is
     ONE combined gather (``tex_ctx``); otherwise one per textured
     material."""
-    from dj_brdf_tpu.render.materials import texel_index
-
     textured = [info.pvec is None for info in infos]
     if any(textured):
         uu, vv = _hit_uv(is_sphere, px, py, pz)
     if tex_ctx is not None:
         combined, off, (k0, k1) = tex_ctx
         p0, p1 = infos[0].pvec_at, infos[1].pvec_at
-        idx0 = texel_index(p0.h, p0.w, uu, vv)
-        idx1 = texel_index(p1.h, p1.w, uu, vv) + off
+        idx0 = p0.index(uu, vv, _lod_for(p0, is_sphere, cone_w))
+        idx1 = p1.index(uu, vv, _lod_for(p1, is_sphere, cone_w)) + off
         row = jnp.take(combined, jnp.where(is_sphere, idx0, idx1),
                        axis=0)
         # off-lane bytes belong to the OTHER material; substitute each
@@ -276,15 +296,14 @@ def _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz):
         pvs = [p0.assemble(jnp.where(m, row[..., :k0], p0.neutral)),
                p1.assemble(jnp.where(m, p1.neutral, row[..., :k1]))]
     else:
-        from dj_brdf_tpu.render.materials import _fetch_rows
-
         def resolve(info):
             if info.pvec is not None:
                 return info.pvec
             p = info.pvec_at
             if p.packed is None:
                 return p.assemble(None)
-            return p.assemble(_fetch_rows(p.packed, p.h, p.w, uu, vv))
+            idx = p.index(uu, vv, _lod_for(p, is_sphere, cone_w))
+            return p.assemble(jnp.take(p.packed, idx, axis=0))
 
         pvs = [resolve(info) for info in infos]
     pv = _select_pvec(is_sphere, *pvs)
@@ -570,7 +589,8 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
         infos = (_fused_info(sphere_mat), _fused_info(floor_mat))
         if all(x is not None for x in infos):
             return _render_envmap_soa(infos, envmap, ro, rd, u, u_env,
-                                      res, spp)
+                                      res, spp,
+                                      cone_spread0=2.0 * fov_scale / res)
         _check_no_textured_fallback(mats)
         return _render_envmap(mats, envmap, ro, rd, u, u_env, res, spp)
 
@@ -580,7 +600,8 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
     infos = (_fused_info(sphere_mat), _fused_info(floor_mat))
     if all(x is not None for x in infos):
         return _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
-                           res, spp, dedup_ok=not jitter)
+                           res, spp, dedup_ok=not jitter,
+                           cone_spread0=2.0 * fov_scale / res)
     _check_no_textured_fallback(mats)
 
     def bounce(carry, u_b):
@@ -715,7 +736,8 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
     return radiance.reshape(spp, res, res, 3).mean(axis=0)
 
 
-def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
+def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int,
+                       cone_spread0: float = 0.0):
     """Environment-lit MIS transport on flat component arrays with the
     fused material kernels — the SoA counterpart of
     :func:`_render_envmap`. Per bounce exactly TWO emitter gathers:
@@ -735,13 +757,21 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
     u_env = jnp.moveaxis(u_env, -1, 1)
     off = _EPS * 3.0
     tex_ctx = _texture_ctx(infos)
+    track_lod = _needs_lod(infos)
 
     def bounce(carry, u_b):
-        (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
-         ra_r, ra_g, ra_b, alive, prev_pdf) = carry
+        if track_lod:
+            (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+             ra_r, ra_g, ra_b, alive, prev_pdf, cw, cs) = carry
+        else:
+            (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+             ra_r, ra_g, ra_b, alive, prev_pdf) = carry
+            cw = cs = None
         u_bsdf, u_nee = u_b
         hit, t, nx, ny, nz, is_sphere, px, py, pz = _intersect_soa(
             rox, roy, roz, rdx, rdy, rdz)
+        if track_lod:
+            cw = cw + cs * jnp.where(hit, t, 0.0)
         miss = alive & ~hit
 
         # emitter importance draw: grid position + exact bin density
@@ -795,7 +825,8 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
                                jnp.broadcast_to(ldz, sox.shape))[0]
         lit = ~s_hit
 
-        pv, fres_fn = _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz)
+        pv, fres_fn = _resolve_scene(infos, tex_ctx, is_sphere, px, py,
+                                     pz, cone_w=cw)
         (fr, fg, fb, pdf_nee, wr, wg, wb, ixl, iyl, izl,
          pdf) = _fused_nee_pdf_and_sample(
             infos, pv, fres_fn, is_sphere, (lx, ly, lz), u_bsdf[0],
@@ -830,6 +861,10 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
         roy = jnp.where(alive, soy, roy)
         roz = jnp.where(alive, soz, roz)
         prev_pdf = jnp.where(alive, pdf, prev_pdf)
+        if track_lod:
+            cs = cs + jnp.where(alive, jnp.minimum(pv[0], 1.0), 0.0)
+            return (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+                    ra_r, ra_g, ra_b, alive, prev_pdf, cw, cs), None
         return (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
                 ra_r, ra_g, ra_b, alive, prev_pdf), None
 
@@ -839,9 +874,12 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
             rd[..., 0], rd[..., 1], rd[..., 2],
             ones, ones, ones, zeros, zeros, zeros,
             jnp.ones(n_rays, bool), jnp.full((n_rays,), -1.0, jnp.float32))
+    if track_lod:
+        init = init + (zeros, jnp.full((n_rays,), cone_spread0,
+                                       jnp.float32))
     carry, _ = jax.lax.scan(bounce, init, (u, u_env))
     (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
-     ra_r, ra_g, ra_b, alive, prev_pdf) = carry
+     ra_r, ra_g, ra_b, alive, prev_pdf) = carry[:14]
     hit = _intersect_soa(rox, roy, roz, rdx, rdy, rdz)[0]
     miss = alive & ~hit
     mr, mg, mb, pdf_env_fin = em.eval_with_pdf(rdx, rdy, rdz)
@@ -855,7 +893,8 @@ def _render_envmap_soa(infos, em, ro, rd, u, u_env, res: int, spp: int):
 
 
 def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
-                res: int, spp: int, dedup_ok: bool = True):
+                res: int, spp: int, dedup_ok: bool = True,
+                cone_spread0: float = 0.0):
     """The fused-material render loop on flat (N,) component arrays:
     path state, intersection, tangent frames and both BSDF ops stay
     SoA end to end (no (N, 3) tiles in the hot loop). Semantics match
@@ -871,6 +910,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     inputs)."""
     n_rays = rd.shape[0]
     tex_ctx = _texture_ctx(infos)
+    track_lod = _needs_lod(infos)
     # (B, N, 2) -> (B, 2, N): slices of the minor-dim-2 layout are
     # strided AoS reads; transpose once outside the scan instead
     u = jnp.moveaxis(u, -1, 1)
@@ -880,10 +920,20 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
     off = _EPS * 3.0
 
     def bounce(carry, u_b):
-        (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
-         ra_r, ra_g, ra_b, alive) = carry
+        if track_lod:
+            # ray cone (width, spread) for texture LOD: width grows
+            # linearly along the segment, spread widens at glossy
+            # bounces by the sampled lane's roughness
+            (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+             ra_r, ra_g, ra_b, alive, cw, cs) = carry
+        else:
+            (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+             ra_r, ra_g, ra_b, alive) = carry
+            cw = cs = None
         hit, t, nx, ny, nz, is_sphere, px, py, pz = _intersect_soa(
             rox, roy, roz, rdx, rdy, rdz)
+        if track_lod:
+            cw = cw + cs * jnp.where(hit, t, 0.0)
 
         # miss -> sky
         miss = alive & ~hit
@@ -909,7 +959,8 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                                jnp.broadcast_to(ldz, sox.shape))[0]
         lit = ~s_hit
 
-        pv, fres_fn = _resolve_scene(infos, tex_ctx, is_sphere, px, py, pz)
+        pv, fres_fn = _resolve_scene(infos, tex_ctx, is_sphere, px, py,
+                                     pz, cone_w=cw)
         fr, fg, fb, wr, wg, wb, ixl, iyl, izl, pdf = _fused_nee_and_sample(
             infos, pv, fres_fn, is_sphere, (lx, ly, lz), u_b[0], u_b[1],
             (ox, oy, oz))
@@ -943,6 +994,10 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
         rox = jnp.where(alive, sox, rox)
         roy = jnp.where(alive, soy, roy)
         roz = jnp.where(alive, soz, roz)
+        if track_lod:
+            cs = cs + jnp.where(alive, jnp.minimum(pv[0], 1.0), 0.0)
+            return (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
+                    ra_r, ra_g, ra_b, alive, cw, cs), None
         return (rox, roy, roz, rdx, rdy, rdz, th_r, th_g, th_b,
                 ra_r, ra_g, ra_b, alive), None
 
@@ -971,15 +1026,20 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                 rd[..., 0], rd[..., 1], rd[..., 2],
                 ones, ones, ones, zeros, zeros, zeros,
                 jnp.ones(n_rays, bool))
+        if track_lod:
+            init = init + (zeros, jnp.full((n_rays,), cone_spread0,
+                                           jnp.float32))
         carry = run_bounces(init, u)
-        return _finish_soa(carry, sk_r, sk_g, sk_b, res, spp)
+        return _finish_soa(carry[:13], sk_r, sk_g, sk_b, res, spp)
 
     P = n_rays // spp
     tile = lambda a: jnp.tile(a, spp)
     rox_p, roy_p, roz_p = ro[:P, 0], ro[:P, 1], ro[:P, 2]
     rdx_p, rdy_p, rdz_p = rd[:P, 0], rd[:P, 1], rd[:P, 2]
-    hit_p, _, nx_p, ny_p, nz_p, is_sph_p, px_p, py_p, pz_p = \
+    hit_p, t_p, nx_p, ny_p, nz_p, is_sph_p, px_p, py_p, pz_p = \
         _intersect_soa(rox_p, roy_p, roz_p, rdx_p, rdy_p, rdz_p)
+    cw_p = (cone_spread0 * jnp.where(hit_p, t_p, 0.0)
+            if track_lod else None)
     tx_p, ty_p, tz_p, bx_p, by_p, bz_p = _build_frame_soa(nx_p, ny_p, nz_p)
     ox_p = -(rdx_p * tx_p + rdy_p * ty_p + rdz_p * tz_p)
     oy_p = -(rdx_p * bx_p + rdy_p * by_p + rdz_p * bz_p)
@@ -994,7 +1054,7 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
                              jnp.broadcast_to(ldy, sox_p.shape),
                              jnp.broadcast_to(ldz, sox_p.shape))[0]
     pv_p, fres_p = _resolve_scene(infos, tex_ctx, is_sph_p, px_p, py_p,
-                                  pz_p)
+                                  pz_p, cone_w=cw_p)
     fr_p, fg_p, fb_p = _fused_nee_eval(infos, pv_p, fres_p, is_sph_p,
                                        (lx_p, ly_p, lz_p),
                                        (ox_p, oy_p, oz_p))
@@ -1036,8 +1096,12 @@ def _render_soa(infos, light_dir, light_rad, sky_rad, ro, rd, u,
             th_r, th_g, th_b,
             tile(ra1_r), tile(ra1_g), tile(ra1_b),
             alive1)
+    if track_lod:
+        cs1 = cone_spread0 + jnp.where(
+            alive1, jnp.minimum(pv1t[0], 1.0), 0.0)
+        init = init + (tile(cw_p), cs1)
     carry = run_bounces(init, u[1:])
-    return _finish_soa(carry, sk_r, sk_g, sk_b, res, spp)
+    return _finish_soa(carry[:13], sk_r, sk_g, sk_b, res, spp)
 
 
 def _finish_soa(carry, sk_r, sk_g, sk_b, res: int, spp: int):

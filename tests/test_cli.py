@@ -317,6 +317,7 @@ def test_render_cli_matpreview_composition(tmp_path):
                 "--pathtrace", "--envmap", envp, "--envmap-rot-z", 45,
                 "--floor-model", "lean", "--floor-leanmap1", l1p,
                 "--floor-leanmap2", l2p, "--floor-alpha", 0.1,
+                "--lean-lod",
                 "--res", 24, "--spp", 2, "--bounces", 2, "-o", out)
     assert r.returncode == 0, r.stderr
     img = np.load(out)

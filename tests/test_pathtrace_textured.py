@@ -223,3 +223,74 @@ def test_textured_with_unfusable_floor_raises():
         reflectance=jnp.asarray([0.4, 0.4, 0.4])))
     with pytest.raises(ValueError, match="fused SoA path"):
         _render(tex, lamb)
+
+
+def _lean_floor(lean, mip_lod=False, base=0.1):
+    return FilteredBeckmannMaterial(
+        lean=lean, base_params=MicrofacetParams.isotropic(base),
+        eta=GOLD_ETA, k=GOLD_K, mip_lod=mip_lod)
+
+
+def test_lean_mip_lod_constant_map_identity():
+    """Constant moment maps make every pyramid level identical, so
+    ray-cone LOD selection cannot change the image."""
+    lean = Lrep(*(jnp.full((16, 16), v, jnp.float32)
+                  for v in (0.2, 0.1, 0.06, 0.04, 0.04)))
+    sphere = MicrofacetMaterial(
+        dist=GGX(), fres=F0, params=MicrofacetParams.isotropic(0.3))
+    a = _render(sphere, _lean_floor(lean, mip_lod=False), res=24, spp=4)
+    b = _render(sphere, _lean_floor(lean, mip_lod=True), res=24, spp=4)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_lean_mip_lod_filters_minification():
+    """The LEAN minification story inside the path tracer: a
+    high-frequency slope checker on the floor. With ray-cone LOD the
+    distant floor fetches averaged moments and converges to the
+    fully-filtered (uniform) material's image; always-mip-0 fetches
+    alias. err(LOD vs filtered) < err(mip0 vs filtered)."""
+    h = w = 64
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    e1 = (0.8 * (2.0 * ((x + y) % 2) - 1.0)).astype(np.float32)
+    zeros = np.zeros((h, w), np.float32)
+    lean = Lrep(E1=jnp.asarray(e1), E2=jnp.asarray(zeros),
+                E3=jnp.asarray(e1 * e1 + 0.02),
+                E4=jnp.asarray(zeros + 0.02), E5=jnp.asarray(zeros))
+    # the fully-filtered limit: pyramid top = moment means
+    lean_uniform = Lrep(*(jnp.asarray(np.mean(m), jnp.float32)
+                          for m in (e1, zeros, e1 * e1 + 0.02,
+                                    zeros + 0.02, zeros)))
+    sphere = MicrofacetMaterial(
+        dist=GGX(), fres=F0, params=MicrofacetParams.isotropic(0.3))
+    kw = dict(res=32, spp=16, max_bounces=2)
+    img_ref = _render(sphere, _lean_floor(lean_uniform), **kw)
+    img_lod = _render(sphere, _lean_floor(lean, mip_lod=True), **kw)
+    img_m0 = _render(sphere, _lean_floor(lean, mip_lod=False), **kw)
+    err_lod = np.abs(img_lod - img_ref).mean()
+    err_m0 = np.abs(img_m0 - img_ref).mean()
+    assert err_lod < err_m0, (err_lod, err_m0)
+    # and the LOD render is genuinely close to the filtered limit
+    assert err_lod < 0.6 * err_m0, (err_lod, err_m0)
+
+
+def test_lean_mip_lod_gradients():
+    """Gradients flow through whichever pyramid level was fetched
+    back to the base moment maps."""
+    e3 = jnp.full((8, 8), 0.05, jnp.float32)
+
+    def loss(e3map):
+        floor = _lean_floor(Lrep(E1=jnp.zeros_like(e3map),
+                                 E2=jnp.zeros_like(e3map),
+                                 E3=e3map, E4=e3map,
+                                 E5=jnp.zeros_like(e3map)),
+                            mip_lod=True)
+        sphere = MicrofacetMaterial(
+            dist=GGX(), fres=F0, params=MicrofacetParams.isotropic(0.3))
+        img = pathtrace.render(
+            sphere, floor, jnp.asarray([0.3, 0.4, 0.8], jnp.float32),
+            jnp.asarray([3.0, 3.0, 3.0]), jnp.asarray([0.2, 0.2, 0.2]),
+            res=16, spp=2, max_bounces=2)
+        return img.mean()
+
+    g = np.asarray(jax.grad(loss)(e3))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
