@@ -563,7 +563,8 @@ def _secondary_metrics(i, o, n, iters: int) -> None:
                       E4=0.25 * e1 * e1 + 0.02, E5=0.5 * e1 * e1),
             base_params=MicrofacetParams.isotropic(0.1),
             eta=jnp.asarray([0.143, 0.375, 1.442], jnp.float32),
-            k=jnp.asarray([3.983, 2.386, 1.603], jnp.float32))
+            k=jnp.asarray([3.983, 2.386, 1.603], jnp.float32),
+            mip_lod=True)  # ray-cone LOD: measured ~3% of the frame
         res, spp = 256, 8
         rkey = jax.random.key(0, impl="rbg")
 

@@ -14,6 +14,36 @@ from __future__ import annotations
 import argparse
 
 
+def _tab_material(args, ap, tab, tab_fres, tab_textured_params):
+    """A tabulated-NDF material for the chosen renderer: uniform
+    standard frame, pre-sampled per-pixel textures (sphere renderer),
+    or per-hit uv fetch via UVMappedMaterial (--pathtrace)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dj_brdf_tpu.microfacet.params import MicrofacetParams
+    from dj_brdf_tpu.render.materials import (MicrofacetMaterial,
+                                              UVMappedMaterial)
+
+    textured = args.alpha1_map or args.alpha2_map or args.alpha_angle_map
+    if not textured:
+        return MicrofacetMaterial(dist=tab, fres=tab_fres,
+                                  params=MicrofacetParams.standard())
+    if not args.pathtrace:
+        return MicrofacetMaterial(dist=tab, fres=tab_fres,
+                                  params=tab_textured_params)
+
+    def map_or(path, const):
+        if not path:
+            return jnp.float32(const)
+        return jnp.asarray(np.load(path), jnp.float32)
+
+    # unmapped components default to the table's unit base roughness
+    return UVMappedMaterial(dist=tab, fres=tab_fres,
+                            alpha1=map_or(args.alpha1_map, 1.0),
+                            alpha2=map_or(args.alpha2_map, 1.0),
+                            alpha_angle=map_or(args.alpha_angle_map, 0.0))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True,
@@ -111,21 +141,27 @@ def main(argv=None) -> int:
     textured = args.alpha1_map or args.alpha2_map or args.alpha_angle_map
     tab_textured_params = None
     if args.pathtrace and args.floor_model == "lambert" and (
-            textured or args.model == "lean"):
-        # textured/LEAN materials run only in the fused SoA loop, and
-        # the default lambert floor is not fused-capable — fail at
-        # parse time with the fix, not mid-trace
+            (textured and args.model in ("ggx", "beckmann"))
+            or args.model == "lean"):
+        # textured analytic / LEAN materials run only in the fused SoA
+        # loop, and the default lambert floor is not fused-capable —
+        # fail at parse time with the fix, not mid-trace (textured
+        # TABULAR materials go through the generic loop and accept any
+        # floor)
         ap.error("textured roughness / LEAN maps under --pathtrace need "
                  "a fused-capable floor: add --floor-model "
                  "{ggx,beckmann,lean}")
     if textured:
         if args.pathtrace:
             # per-hit texture fetch inside the bounce loop (the
-            # integrator-orthogonal path, mitsuba/dj_brdf.cpp:353-357)
-            # — built below as a TexturedMicrofacetMaterial
-            if args.model not in ("ggx", "beckmann"):
+            # integrator-orthogonal path, mitsuba/dj_brdf.cpp:353-357):
+            # analytic families via the fused SoA kernels, tabular
+            # NDFs via the generic loop's at_uv specialization
+            if args.model not in ("ggx", "beckmann", "merl_tab",
+                                  "utia_tab"):
                 ap.error("textured roughness under --pathtrace supports "
-                         "the analytic microfacet models (ggx/beckmann)")
+                         "the microfacet models "
+                         "(ggx/beckmann/merl_tab/utia_tab)")
         else:
             # sphere renderer: sample the maps at the preview sphere's
             # UVs and build per-pixel elliptic params
@@ -218,10 +254,7 @@ def main(argv=None) -> int:
         tab, tab_fres = tabular.build_tabular(m, args.fit_res)
         # textured alphas modulate around the tabulated NDF's unit
         # base roughness (dj_brdf.cpp:353-357 with baseRoughness = 1)
-        mat = MicrofacetMaterial(
-            dist=tab, fres=tab_fres,
-            params=(tab_textured_params if textured
-                    else MicrofacetParams.standard()))
+        mat = _tab_material(args, ap, tab, tab_fres, tab_textured_params)
     elif args.model == "utia_fit":
         # the dj_brdf plugin's UTIA path: anisotropic tabulation at
         # scene load, base roughness from the anisotropic moment fit
@@ -244,10 +277,7 @@ def main(argv=None) -> int:
         u = Utia.build(jnp.asarray(load_utia(args.file)))
         tab, tab_fres = tabular_aniso.build_tabular_anisotropic(
             u, args.fit_res, args.fit_res)
-        mat = MicrofacetMaterial(
-            dist=tab, fres=tab_fres,
-            params=(tab_textured_params if textured
-                    else MicrofacetParams.standard()))
+        mat = _tab_material(args, ap, tab, tab_fres, tab_textured_params)
     elif args.model == "lean":
         # the dj_beckmannconductor plugin: LEAN maps + base roughness +
         # exact conductor Fresnel (mitsuba/dj_beckmannconductor.cpp)

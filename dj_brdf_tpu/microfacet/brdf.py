@@ -159,10 +159,23 @@ def evalp_is(dist, fres, params, u1, u2, o, shadow: bool = True):
     with weight = evalp/pdf — F G / G1 for Smith-VNDF samplers
     (reference microfacet::evalp_is, dj_brdf.h:1734-1765)."""
     i = sample(dist, params, u1, u2, o)
+    # sanitize before the weight math (the fused kernels' `valid` /
+    # `valid_h` gates): below-warped-horizon receivers make the
+    # sampler emit garbage directions, and near-degenerate half
+    # vectors make 1/h.z blow up — both are gated out of the OUTPUT,
+    # but any inf in a gated lane's forward intermediates turns the
+    # zero reverse-mode cotangent into NaN (this matters once params
+    # are per-lane textures, where one poisoned lane scatters into a
+    # real texel's gradient)
+    up = jnp.zeros_like(i).at[..., 2].set(1.0)
+    valid = dot(o, params.mean_normal) > 0.0
+    i = jnp.where(valid[..., None], i, up)
     h = normalize(i + o, eps=1e-24)
+    ok_h = h[..., 2] > 1e-6
+    h = jnp.where(ok_h[..., None], h, up)
     g = gaf(dist, params, h, i, o, shadow)
     cos_theta_d = sat(dot(o, h))
-    ok = g > 0.0
+    ok = (g > 0.0) & valid & ok_h
 
     if dist.supports_smith_vndf:
         f = fres(cos_theta_d)

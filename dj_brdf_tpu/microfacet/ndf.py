@@ -163,7 +163,7 @@ def _sample_smith_radial(dist, u1, u2, k):
     """Rotate standard visible slopes into the azimuthal frame of k
     (reference radial::sample_vp22_std_smith, dj_brdf.h:1818-1846)."""
     cos_theta_k = k[..., 2]
-    sin_theta_k = jnp.sqrt(jnp.maximum(1.0 - cos_theta_k * cos_theta_k, 0.0))
+    sin_theta_k = jnp.sqrt(jnp.maximum(1.0 - cos_theta_k * cos_theta_k, 1e-24))
     tx = dist.qf2_radial(u1, cos_theta_k, sin_theta_k)
     ty = dist.qf3_radial(u2, tx)
 
@@ -198,7 +198,7 @@ class Beckmann:
     def sigma_std_radial(self, cos_theta_k):
         """Closed-form projected area with erf (dj_brdf.h:1871-1879)."""
         c = cos_theta_k
-        sin_theta_k = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+        sin_theta_k = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-24))
         safe_sin = jnp.maximum(sin_theta_k, 1e-12)
         nu = c / safe_sin
         tmp = jnp.exp(-nu * nu) * _SQRT_PI_INV
@@ -264,7 +264,7 @@ class GGX:
         """Closed-form visible x-slope quantile, 4-branch tan/cot form
         made branchless (dj_brdf.h:2089-2119)."""
         sin_theta = u * (1.0 + cos_theta_k) - 1.0
-        cos_theta = jnp.sqrt(jnp.maximum(1.0 - sin_theta * sin_theta, 0.0))
+        cos_theta = jnp.sqrt(jnp.maximum(1.0 - sin_theta * sin_theta, 1e-24))
 
         safe_cos = jnp.maximum(cos_theta, 1e-12)
         safe_sin_t = jnp.where(sin_theta == 0.0, 1e-12, sin_theta)
@@ -351,17 +351,27 @@ class Tabular:
     qf: jnp.ndarray
     supports_smith_vndf: bool = static_field(default=False)
 
+    # NOTE on the 1e-24 floors and the atan2 arccos: sqrt/arccos have
+    # infinite derivatives at 0 / +-1, and those inputs are HIT
+    # EXACTLY by sanitized lanes (h = up => r_sqr = 0, i = up =>
+    # cos = 1); the values are gated out of forward outputs, but a
+    # 0-cotangent x inf-derivative is NaN in reverse mode, which
+    # poisons per-lane texture gradients. Value changes are <= 1e-12.
     def p22_radial(self, r_sqr):
-        r = jnp.sqrt(jnp.maximum(r_sqr, 0.0))
-        u = jnp.sqrt(2.0 * jnp.arctan(r) / jnp.pi)
+        r = jnp.sqrt(jnp.maximum(r_sqr, 1e-24))
+        u = jnp.sqrt(jnp.maximum(2.0 * jnp.arctan(r) / jnp.pi, 1e-24))
         return spline.eval1d(self.p22, u, wrap="edge")
 
     def sigma_std_radial(self, cos_theta_k):
-        u = 2.0 * jnp.arccos(jnp.clip(cos_theta_k, -1.0, 1.0)) / jnp.pi
-        return spline.eval1d(self.sigma, u, wrap="edge")
+        c = jnp.clip(cos_theta_k, -1.0, 1.0)
+        # arccos via atan2 with a floored sine: same value, finite
+        # derivative at the poles
+        theta = jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-24)), c)
+        return spline.eval1d(self.sigma, 2.0 * theta / jnp.pi,
+                             wrap="edge")
 
     def cdf_radial(self, r):
-        u = jnp.maximum(jnp.arctan(r) * 2.0 / jnp.pi, 0.0)
+        u = jnp.maximum(jnp.arctan(r) * 2.0 / jnp.pi, 1e-24)
         return spline.eval1d(self.cdf, jnp.sqrt(u), wrap="edge")
 
     def qf_radial(self, u):
@@ -407,15 +417,23 @@ class TabularAnisotropic:
         u2 = phi * 0.5 / jnp.pi
         return spline.eval2d(self.p22, u1, u2, wrap1="edge", wrap2="repeat")
 
+    # pole/origin guards as in Tabular: sqrt/arccos/atan2 have
+    # infinite or 0/0 derivatives exactly where sanitized lanes land
+    # (slopes (0,0), k = up); floors keep reverse-mode finite at
+    # <= 1e-12 value change
     def p22_std(self, x, y):
-        theta = jnp.arctan(jnp.sqrt(x * x + y * y))
-        phi = jnp.arctan2(-y, -x)
+        r2 = x * x + y * y
+        theta = jnp.arctan(jnp.sqrt(jnp.maximum(r2, 1e-24)))
+        phi = jnp.arctan2(-y, jnp.where(r2 < 1e-24, -1.0, -x))
         return self.p22_std_theta_phi(theta, phi)
 
     def sigma_std(self, k):
         """(dj_brdf.h:2198-2211)."""
-        theta = jnp.arccos(jnp.clip(k[..., 2], -1.0, 1.0))
-        phi = jnp.arctan2(k[..., 1], k[..., 0])
+        c = jnp.clip(k[..., 2], -1.0, 1.0)
+        theta = jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-24)), c)
+        r2 = k[..., 0] * k[..., 0] + k[..., 1] * k[..., 1]
+        phi = jnp.arctan2(k[..., 1],
+                          jnp.where(r2 < 1e-24, 1.0, k[..., 0]))
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         u1 = theta * 2.0 / jnp.pi
         u2 = phi * 0.5 / jnp.pi

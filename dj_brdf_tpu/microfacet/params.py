@@ -103,7 +103,7 @@ class MicrofacetParams:
     # -- derived quantities -------------------------------------------
     @property
     def sqrt_one_minus_rho_sqr(self):
-        return jnp.sqrt(jnp.maximum(1.0 - self.rho * self.rho, 0.0))
+        return jnp.sqrt(jnp.maximum(1.0 - self.rho * self.rho, 1e-24))
 
     @property
     def mean_normal(self):

@@ -36,7 +36,7 @@ def ggx_evalp_soa(pvec, ix, iy, iz, ox, oy, oz, with_pdf: bool = False,
     txn, tyn = pvec[3], pvec[4]
     if fresnel_fn is None:
         f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     # scalar reciprocals hoisted out of the per-element chain
     inv_ax = 1.0 / ax
     inv_axays = 1.0 / (ax * ay * s)
@@ -123,7 +123,7 @@ def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz,
     txn, tyn = pvec[3], pvec[4]
     if fresnel_fn is None:
         f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     inv_ax = 1.0 / ax
     inv_axays = 1.0 / (ax * ay * s)
     ay_rho = ay * rho
@@ -141,7 +141,7 @@ def beckmann_evalp_soa(pvec, ix, iy, iz, ox, oy, oz,
         inrm = jax.lax.rsqrt(jnp.maximum(q, 1e-24))
         nrm = q * inrm
         c_std = c * inrm
-        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 0.0))
+        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 1e-24))
         nu = c_std / jnp.maximum(sin_k, 1e-12)
         sig_std = (c_std * (1.0 + erf(nu))
                    + sin_k * jnp.exp(-nu * nu) * sqrt_pi_inv) * 0.5
@@ -266,7 +266,7 @@ def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
     txn, tyn = pvec[3], pvec[4]
     if fresnel_fn is None:
         f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     inv_axays = 1.0 / (ax * ay * s)
 
     u1 = jnp.clip(u1, 0.0, 1.0) * 0.99998 + 0.00001
@@ -298,7 +298,7 @@ def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
         # reference qf2 (4-branch closed form) + qf3 (rational)
         from dj_brdf_tpu.microfacet.ndf import GGX as _GGX
         g = _GGX()
-        sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
+        sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 1e-24))
         tx = g.qf2_radial(u1, kz, sin_k)
         ty = g.qf3_radial(u2, tx)
         ni = sin_k == 0.0
@@ -393,7 +393,7 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
     txn, tyn = pvec[3], pvec[4]
     if fresnel_fn is None:
         f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     inv_axays = 1.0 / (ax * ay * s)
 
     u1 = jnp.clip(u1, 0.0, 1.0) * 0.99998 + 0.00001
@@ -409,7 +409,7 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
 
     def sigma_beck(c_std, nrm):
         # nrm * sigma_std_radial(c_std) (dj_brdf.h:1871-1879)
-        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 0.0))
+        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 1e-24))
         nu = c_std * recip(jnp.maximum(sin_k, 1e-12))
         sig_std = (c_std * (1.0 + erf(nu))
                    + sin_k * jnp.exp(-nu * nu) * sqrt_pi_inv) * 0.5
@@ -421,7 +421,7 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
 
     # receiver cot terms, shared by sigma_std(o) and the slope solver
     # (below-horizon lanes produce gated garbage either way)
-    sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
+    sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 1e-24))
     safe_sin = jnp.maximum(sin_k, 1e-12)
     safe_cos = jnp.maximum(kz, 1e-12)
     cot = safe_cos * recip(safe_sin)
@@ -544,7 +544,7 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
     txn, tyn = pvec[3], pvec[4]
     if fresnel_fn is None:
         f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     inv_ax = 1.0 / ax
     inv_axays = 1.0 / (ax * ay * s)
     ay_rho = ay * rho
@@ -567,7 +567,7 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         inrm = jax.lax.rsqrt(jnp.maximum(q, 1e-24))
         nrm = q * inrm
         c_std = c * inrm
-        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 0.0))
+        sin_k = jnp.sqrt(jnp.maximum(1.0 - c_std * c_std, 1e-24))
         nu = c_std * recip(jnp.maximum(sin_k, 1e-12))
         erf_nu = erf(nu)
         e_nu2 = jnp.exp(-nu * nu)
@@ -748,7 +748,7 @@ def ggx_lsq_fwdbwd_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
     txn, tyn = pvec[3], pvec[4]
     f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
 
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     inv_ax = 1.0 / ax
     inv_ay = 1.0 / ay
     inv_s = 1.0 / s
@@ -905,7 +905,7 @@ def beckmann_lsq_fwdbwd_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
     txn, tyn = pvec[3], pvec[4]
     f0r, f0g, f0b = pvec[5], pvec[6], pvec[7]
 
-    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    s = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-24))
     inv_ax = 1.0 / ax
     inv_ay = 1.0 / ay
     inv_s = 1.0 / s
@@ -925,7 +925,7 @@ def beckmann_lsq_fwdbwd_soa(pvec, ix, iy, iz, ox, oy, oz, tr, tg, tb,
         inv_nrm = jax.lax.rsqrt(jnp.maximum(q, 1e-24))
         nrm = q * inv_nrm
         c_std = c * inv_nrm
-        sin2 = jnp.maximum(1.0 - c_std * c_std, 0.0)
+        sin2 = jnp.maximum(1.0 - c_std * c_std, 1e-24)
         sin_k = jnp.sqrt(sin2)
         nu = c_std * recip(jnp.maximum(sin_k, 1e-12))
         erf_nu = erf(nu)

@@ -219,6 +219,44 @@ class TexturedMicrofacetMaterial:
 
 
 @pytree_dataclass
+class UVMappedMaterial:
+    """Textured roughness over ANY distribution — including tabular
+    NDFs — for the path tracer's generic loop: the dj_brdf plugin's
+    textured alpha1/alpha2/alphaAngle front end with
+    distribution="tabular" (mitsuba/dj_brdf.cpp:208-233, 353-357),
+    where the texture modulates the extracted table's unit base
+    roughness per shading point under any integrator.
+
+    The bounce loop calls :meth:`at_uv` with the per-hit uv; the
+    result is a plain MicrofacetMaterial whose parameter leaves are
+    per-lane arrays (MicrofacetParams broadcasts), evaluated through
+    the layered path — slower than the fused analytic-family kernels
+    (use TexturedMicrofacetMaterial for GGX/Beckmann) but fully
+    general. Gradients flow into the texture leaves."""
+
+    dist: object                 # any distribution (Tabular included)
+    fres: object
+    alpha1: jnp.ndarray          # scalar or (H, W)
+    alpha2: jnp.ndarray
+    alpha_angle: jnp.ndarray
+
+    def at_uv(self, uu, vv):
+        def fetch(leaf):
+            leaf = jnp.asarray(leaf, jnp.float32)
+            if leaf.ndim != 2:
+                return leaf
+            h, w = leaf.shape
+            return jnp.take(leaf.reshape(-1),
+                            texel_index(h, w, uu, vv))
+
+        params = MicrofacetParams.elliptic(fetch(self.alpha1),
+                                           fetch(self.alpha2),
+                                           fetch(self.alpha_angle))
+        return MicrofacetMaterial(dist=self.dist, fres=self.fres,
+                                  params=params)
+
+
+@pytree_dataclass
 class MeasuredMaterial:
     """Measured (or analytic-fit) eval + importance sampling through a
     fitted GGX proxy — the dj_merl render pattern."""

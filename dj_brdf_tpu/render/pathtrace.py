@@ -80,6 +80,21 @@ def _material_eval(mats, is_sphere, fn_name, *args):
     return jax.tree_util.tree_map(sel, a, b)
 
 
+def _mats_at_hit(mats, is_sphere, pos):
+    """Per-hit material specialization for the generic loop:
+    materials exposing ``at_uv`` (UVMappedMaterial — textured alphas
+    over tabular/any distributions) fetch their textures at the hit's
+    uv and return an ordinary per-lane-parameter material; others pass
+    through. This is the generic-loop half of the reference's
+    per-shading-point texture evaluation (dj_brdf.cpp:353-357 with
+    distribution=\"tabular\")."""
+    if not any(hasattr(m, "at_uv") for m in mats):
+        return mats
+    uu, vv = _hit_uv(is_sphere, pos[..., 0], pos[..., 1], pos[..., 2])
+    return tuple(m.at_uv(uu, vv) if hasattr(m, "at_uv") else m
+                 for m in mats)
+
+
 class _FusedInfo(NamedTuple):
     """Trace-time material description for the fused SoA render loops
     (static dispatch, like the reference's plugin-construction-time
@@ -615,14 +630,16 @@ def render(sphere_mat, floor_mat, light_dir, light_radiance, sky_radiance,
 
         pos = ro + t[..., None] * rd
         o_loc = world_to_local(n, -rd)
+        mats_b = _mats_at_hit(mats, is_sphere,
+                              jnp.where(hit[..., None], pos, ro))
 
         # next-event estimation toward the delta light
         i_loc = world_to_local(n, jnp.broadcast_to(light_dir, rd.shape))
         shadow_o = pos + n * _EPS * 3.0
         lit = ~_occluded(shadow_o, jnp.broadcast_to(light_dir, rd.shape))
 
-        f = _material_eval(mats, is_sphere, "evalp", i_loc, o_loc)
-        w, i_s, pdf = _material_eval(mats, is_sphere, "evalp_is",
+        f = _material_eval(mats_b, is_sphere, "evalp", i_loc, o_loc)
+        w, i_s, pdf = _material_eval(mats_b, is_sphere, "evalp_is",
                                      u_b[:, 0], u_b[:, 1], o_loc)
 
         contrib = throughput * light_rad * f
@@ -689,6 +706,8 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
 
         pos = ro + t[..., None] * rd
         o_loc = world_to_local(n, -rd)
+        mats_b = _mats_at_hit(mats, is_sphere,
+                              jnp.where(hit[..., None], pos, ro))
 
         # next-event estimation: one envmap importance sample
         ldx, ldy, ldz, pdf_l = em.sample(u_nee[:, 0], u_nee[:, 1],
@@ -698,8 +717,9 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
         shadow_o = pos + n * _EPS * 3.0
         lit = ~_occluded(shadow_o, l_world)
 
-        f = _material_eval(mats, is_sphere, "evalp", l_loc, o_loc)
-        pdf_b_at_l = _material_eval(mats, is_sphere, "pdf", l_loc, o_loc)
+        f = _material_eval(mats_b, is_sphere, "evalp", l_loc, o_loc)
+        pdf_b_at_l = _material_eval(mats_b, is_sphere, "pdf", l_loc,
+                                    o_loc)
         le, _ = env_lookup(l_world)
         w_nee = power_heuristic(pdf_l, jnp.maximum(pdf_b_at_l, 0.0))
         contrib = (throughput * le * f
@@ -709,7 +729,7 @@ def _render_envmap(mats, em, ro, rd, u, u_env, res: int, spp: int):
 
         # BSDF sampling continues the path; its pdf feeds the next
         # segment's MIS weight
-        w, i_s, pdf = _material_eval(mats, is_sphere, "evalp_is",
+        w, i_s, pdf = _material_eval(mats_b, is_sphere, "evalp_is",
                                      u_bsdf[:, 0], u_bsdf[:, 1], o_loc)
         throughput = throughput * jnp.where(alive[..., None], w, 1.0)
         alive = alive & (pdf > 0.0) & (i_s[..., 2] > 0.0)

@@ -112,3 +112,50 @@ def test_tabulate_merl_batch_matches_sequential():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ab_s), np.asarray(ab), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ag_s), np.asarray(ag), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_render_pytrees(tmp_path):
+    """The round-5 render pytrees — EnvMap (alias tables + rotation),
+    TexturedMicrofacetMaterial, full-map FilteredBeckmannMaterial —
+    persist and restore through the same checkpoint path (the
+    framework's scene-state persistence; the reference rebuilds its
+    fitted state from scratch at every scene load)."""
+    import numpy as np
+    from dj_brdf_tpu import fresnel
+    from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
+    from dj_brdf_tpu.lean.lrep import Lrep
+    from dj_brdf_tpu.microfacet.ndf import GGX
+    from dj_brdf_tpu.microfacet.params import MicrofacetParams
+    from dj_brdf_tpu.render.envmap import EnvMap
+    from dj_brdf_tpu.render.materials import TexturedMicrofacetMaterial
+    from dj_brdf_tpu.utils.checkpoint import (load_checkpoint,
+                                              save_checkpoint)
+
+    rng = np.random.default_rng(0)
+    em = EnvMap.build(
+        jnp.asarray(rng.uniform(0.1, 1, (8, 16, 3)), jnp.float32),
+        rotation=EnvMap.rotation_z(0.5))
+    tex = TexturedMicrofacetMaterial(
+        dist=GGX(), fres=fresnel.Schlick(f0=jnp.asarray([0.9, 0.6, 0.3])),
+        alpha1=jnp.asarray(rng.uniform(0.1, 0.5, (4, 4)), jnp.float32),
+        alpha2=jnp.asarray(0.2, jnp.float32),
+        alpha_angle=jnp.asarray(0.0, jnp.float32))
+    e1 = jnp.asarray(rng.normal(0, 0.1, (4, 4)), jnp.float32)
+    lean = FilteredBeckmannMaterial(
+        lean=Lrep(E1=e1, E2=e1, E3=e1 * e1 + 0.02, E4=e1 * e1 + 0.02,
+                  E5=e1 * e1),
+        base_params=MicrofacetParams.isotropic(0.1),
+        eta=jnp.asarray([0.1, 0.3, 1.4]), k=jnp.asarray([3.9, 2.4, 1.6]),
+        mip_lod=True)
+
+    state = {"envmap": em, "sphere": tex, "floor": lean}
+    save_checkpoint(str(tmp_path / "scene"), state)
+    back = load_checkpoint(str(tmp_path / "scene"), like=state)
+    for k in state:
+        la = jax.tree_util.tree_leaves(state[k])
+        lb = jax.tree_util.tree_leaves(back[k])
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert isinstance(back["envmap"], EnvMap)
+    assert back["floor"].mip_lod is True  # static fields preserved

@@ -222,6 +222,18 @@ def test_render_cli_textured_roughness(tmp_path, merl_file):
                 "--res", 48, "-o", out)
     assert r.returncode == 0, r.stderr
 
+    # ...and the same textured tabular under the PATH TRACER (the
+    # dj_brdf plugin's distribution="tabular" textures work inside any
+    # integrator; here via UVMappedMaterial + the generic loop)
+    outn = str(tmp_path / "t_pt.npy")
+    r = run_cli("dj_brdf_tpu.cli.render", "--model", "merl_tab", "--file",
+                merl_file, "--fit-res", 16, "--alpha1-map", a1p,
+                "--pathtrace", "--res", 16, "--spp", 2, "--bounces", 2,
+                "-o", outn)
+    assert r.returncode == 0, r.stderr
+    img_pt = np.load(outn)
+    assert img_pt.shape == (16, 16, 3) and np.isfinite(img_pt).all()
+
 
 def test_render_cli_utia_tab(tmp_path):
     """distribution="tabular" over UTIA: render + sample the extracted
