@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 
 
-def _tab_material(args, ap, tab, tab_fres, tab_textured_params):
+def _tab_material(args, tab, tab_fres, tab_textured_params):
     """A tabulated-NDF material for the chosen renderer: uniform
     standard frame, pre-sampled per-pixel textures (sphere renderer),
     or per-hit uv fetch via UVMappedMaterial (--pathtrace)."""
@@ -162,6 +162,12 @@ def main(argv=None) -> int:
                 ap.error("textured roughness under --pathtrace supports "
                          "the microfacet models "
                          "(ggx/beckmann/merl_tab/utia_tab)")
+            if (args.model in ("merl_tab", "utia_tab")
+                    and args.floor_model == "lean"):
+                ap.error("textured tabular models render through the "
+                         "generic loop and cannot pair with the "
+                         "fused-only LEAN floor; use --floor-model "
+                         "{lambert,ggx,beckmann}")
         else:
             # sphere renderer: sample the maps at the preview sphere's
             # UVs and build per-pixel elliptic params
@@ -254,7 +260,7 @@ def main(argv=None) -> int:
         tab, tab_fres = tabular.build_tabular(m, args.fit_res)
         # textured alphas modulate around the tabulated NDF's unit
         # base roughness (dj_brdf.cpp:353-357 with baseRoughness = 1)
-        mat = _tab_material(args, ap, tab, tab_fres, tab_textured_params)
+        mat = _tab_material(args, tab, tab_fres, tab_textured_params)
     elif args.model == "utia_fit":
         # the dj_brdf plugin's UTIA path: anisotropic tabulation at
         # scene load, base roughness from the anisotropic moment fit
@@ -277,7 +283,7 @@ def main(argv=None) -> int:
         u = Utia.build(jnp.asarray(load_utia(args.file)))
         tab, tab_fres = tabular_aniso.build_tabular_anisotropic(
             u, args.fit_res, args.fit_res)
-        mat = _tab_material(args, ap, tab, tab_fres, tab_textured_params)
+        mat = _tab_material(args, tab, tab_fres, tab_textured_params)
     elif args.model == "lean":
         # the dj_beckmannconductor plugin: LEAN maps + base roughness +
         # exact conductor Fresnel (mitsuba/dj_beckmannconductor.cpp)

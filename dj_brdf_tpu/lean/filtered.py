@@ -91,13 +91,8 @@ class FilteredBeckmannMaterial:
         if self.mip_lod:
             # flatten the moment pyramid level-major; per-lane level
             # select costs three tiny (L,) gathers for (offset, h, w)
-            from dj_brdf_tpu.lean.maps import mip_reduce
-            levels = [self.lean]
-            while (levels[-1].E1.shape[0] % 2 == 0
-                   and levels[-1].E1.shape[1] % 2 == 0
-                   and levels[-1].E1.shape[0] > 1
-                   and levels[-1].E1.shape[1] > 1):
-                levels.append(mip_reduce(levels[-1]))
+            from dj_brdf_tpu.lean.maps import build_mip_pyramid
+            levels = build_mip_pyramid(self.lean)
             packs = [pack(l) for l in levels]
             packed = jnp.concatenate(packs, axis=0)
             sizes = [p.shape[0] for p in packs]

@@ -87,8 +87,13 @@ def mip_reduce(lean: Lrep) -> Lrep:
 
 
 def build_mip_pyramid(lean: Lrep) -> list[Lrep]:
-    """Full pyramid down to 1x1 (levels[0] is the input)."""
+    """Pyramid of 2x2 moment means; levels[0] is the input. Stops at
+    1x1 — or earlier when a dimension turns odd, since
+    :func:`mip_reduce`'s 2x2 pooling needs even extents (power-of-two
+    maps get the full chain)."""
     levels = [lean]
-    while levels[-1].E1.shape[-1] > 1 and levels[-1].E1.shape[-2] > 1:
+    while (levels[-1].E1.shape[-1] > 1 and levels[-1].E1.shape[-2] > 1
+           and levels[-1].E1.shape[-1] % 2 == 0
+           and levels[-1].E1.shape[-2] % 2 == 0):
         levels.append(mip_reduce(levels[-1]))
     return levels

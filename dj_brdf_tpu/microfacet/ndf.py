@@ -167,7 +167,7 @@ def _sample_smith_radial(dist, u1, u2, k):
     tx = dist.qf2_radial(u1, cos_theta_k, sin_theta_k)
     ty = dist.qf3_radial(u2, tx)
 
-    normal_incidence = sin_theta_k == 0.0
+    normal_incidence = sin_theta_k <= 1e-9  # floored sqrt: never == 0
     nrm = jax.lax.rsqrt(jnp.maximum(k[..., 0] ** 2 + k[..., 1] ** 2, 1e-24))
     cos_phi_k = jnp.where(normal_incidence, 1.0, k[..., 0] * nrm)
     sin_phi_k = jnp.where(normal_incidence, 0.0, k[..., 1] * nrm)

@@ -301,7 +301,9 @@ def ggx_evalp_is_soa(pvec, u1, u2, ox, oy, oz, caps: bool = True,
         sin_k = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 1e-24))
         tx = g.qf2_radial(u1, kz, sin_k)
         ty = g.qf3_radial(u2, tx)
-        ni = sin_k == 0.0
+        ni = sin_k <= 1e-9  # floored sqrt: exact normal
+        #   incidence reads 1e-12, never 0; an == 0 test
+        #   would go dead and zero the azimuthal frame
         nrm = jax.lax.rsqrt(jnp.maximum(kx * kx + ky * ky, 1e-24))
         cos_pk = jnp.where(ni, 1.0, kx * nrm)
         sin_pk = jnp.where(ni, 0.0, ky * nrm)
@@ -439,7 +441,9 @@ def beckmann_evalp_is_soa(pvec, u1, u2, ox, oy, oz, recip=None,
     ty = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
 
     # rotate into the azimuthal frame of k (dj_brdf.h:1830-1842)
-    ni = sin_k == 0.0
+    ni = sin_k <= 1e-9  # floored sqrt: exact normal
+    #   incidence reads 1e-12, never 0; an == 0 test
+    #   would go dead and zero the azimuthal frame
     nrm_xy = jax.lax.rsqrt(jnp.maximum(kx * kx + ky * ky, 1e-24))
     cos_pk = jnp.where(ni, 1.0, kx * nrm_xy)
     sin_pk = jnp.where(ni, 0.0, ky * nrm_xy)
@@ -659,7 +663,9 @@ def mixed_nee_evalp_is_soa(pvec, is_beck, lx, ly, lz, u1, u2, ox, oy, oz,
         u1, kz, sin_k, recip=recip,
         shared=(nu_o, tan_o, erf_nu_o, e_nu2_o))
     ty_b = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
-    ni = sin_k == 0.0
+    ni = sin_k <= 1e-9  # floored sqrt: exact normal
+    #   incidence reads 1e-12, never 0; an == 0 test
+    #   would go dead and zero the azimuthal frame
     nrm_xy = jax.lax.rsqrt(jnp.maximum(kx * kx + ky * ky, 1e-24))
     cos_pk = jnp.where(ni, 1.0, kx * nrm_xy)
     sin_pk = jnp.where(ni, 0.0, ky * nrm_xy)

@@ -544,3 +544,36 @@ def test_fit_materials_beckmann_fused(rng):
                                dist=Beckmann())
     np.testing.assert_allclose(np.asarray(pf.ax), alphas, rtol=0.1)
     assert np.isfinite(np.asarray(lf)).all()
+
+
+def test_normal_incidence_sampling_not_collapsed(rng):
+    """Regression (round-5 review): the floored sin under the sqrt
+    means exact normal incidence reads sin_k = 1e-12, never 0 — an
+    `== 0` normal-incidence test goes dead and zeroes the azimuthal
+    rotation frame, collapsing every VNDF sample to the mean normal.
+    At o = +z the sampled directions must still spread."""
+    from dj_brdf_tpu.microfacet.ndf import Beckmann
+
+    n = 64
+    pv = jnp.asarray([0.5, 0.5, 0.0, 0.0, 0.0, 0.9, 0.6, 0.3],
+                     jnp.float32)
+    z = jnp.zeros(n)
+    o1 = jnp.ones(n)
+    u1 = jnp.asarray(rng.uniform(0.05, 0.95, n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(0.05, 0.95, n), jnp.float32)
+    for kernel in (lambda: soa.ggx_evalp_is_soa(pv, u1, u2, z, z, o1,
+                                                caps=False),
+                   lambda: soa.beckmann_evalp_is_soa(pv, u1, u2, z, z,
+                                                     o1),
+                   lambda: soa.mixed_nee_evalp_is_soa(
+                       pv, jnp.arange(n) % 2 == 0, z, z, o1, u1, u2,
+                       z, z, o1)[-7:]):
+        out = kernel()
+        ixy = np.stack([np.asarray(out[3]), np.asarray(out[4])], -1)
+        assert np.abs(ixy).max() > 0.05, "samples collapsed to +z"
+        assert np.unique(np.round(ixy, 4), axis=0).shape[0] > n // 2
+    # layered path too
+    o3 = jnp.stack([z, z, o1], -1)
+    i_l = mf.sample(Beckmann(), MicrofacetParams.isotropic(0.5), u1, u2,
+                    o3)
+    assert float(np.abs(np.asarray(i_l)[:, :2]).max()) > 0.05
