@@ -30,7 +30,8 @@ from dj_brdf_tpu.models.utia import Utia
 from dj_brdf_tpu.models.sgd import SGD
 from dj_brdf_tpu.models.abc_model import ABC
 from dj_brdf_tpu.render.materials import (
-    MicrofacetMaterial, MeasuredMaterial, CosineMaterial)
+    MicrofacetMaterial, MeasuredMaterial, CosineMaterial,
+    TexturedMicrofacetMaterial, UVMappedMaterial)
 from dj_brdf_tpu.lean.lrep import Lrep
 from dj_brdf_tpu.lean.filtered import FilteredBeckmannMaterial
 from dj_brdf_tpu import io
